@@ -1,0 +1,36 @@
+"""Pure-function math core (XLA) and Pallas kernels.
+
+Everything in this package is functional, shape-static and jit-friendly:
+no Python-level data-dependent control flow, no host sync inside the
+compute path.
+"""
+
+from rnr_tpu.ops.interpolate import (
+    interpolate_bilinear,
+    interpolate_bilinear_batch,
+    resize_bilinear,
+)
+from rnr_tpu.ops.spherical import (
+    spherical_mapping,
+    spherical_mapping_batch,
+    spherical_mapping_inv,
+    cart2sph,
+    sph2cart,
+    sample_light_dir,
+)
+from rnr_tpu.ops.sh import (
+    evaluate_sh_basis,
+    fit_sh_coeff,
+    reconstruct_sh,
+    num_sh_basis,
+)
+from rnr_tpu.ops.projection import projection, vertices_to_faces, vertex_attrs_to_faces
+from rnr_tpu.ops.cameras import (
+    get_view_dir_map,
+    get_reflect_dir,
+    rt_from_pos_lookat,
+    get_spiral,
+    euler_to_rot,
+)
+from rnr_tpu.ops.tbn import face_tangents, get_tbn_map
+from rnr_tpu.ops.metrics import masked_err_metrics, psnr, ssim

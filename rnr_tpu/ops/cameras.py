@@ -1,0 +1,96 @@
+"""Per-pixel view rays, reflections, and camera-path helpers.
+
+Reference: camera.py:5-76, data_util.py:175-191.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+
+
+def get_view_dir_map(
+    img_size: tuple[int, int], proj_inv: jax.Array, R_inv: jax.Array
+):
+    """Per-pixel unit view direction in world and camera space.
+
+    Args:
+      img_size: (H, W) static ints.
+      proj_inv: [N, 3, 3] inverse intrinsics.
+      R_inv: [N, 3, 3] inverse rotation (world-from-camera).
+
+    Returns:
+      (view_dir_map [N, H, W, 3] world, view_dir_map_cam [N, H, W, 3]).
+      Rays point from the surface towards the camera (negated un-projection),
+      matching reference camera.py:5-32.
+    """
+    h, w = int(img_size[0]), int(img_size[1])
+    v, u = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32) + 0.5,
+        jnp.arange(w, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    uv1 = jnp.stack((u, v, jnp.ones_like(u)), axis=-1)  # [H, W, 3]
+    xyz_cam = -jnp.einsum("nij,hwj->nhwi", proj_inv, uv1)
+    xyz_cam = _normalize(xyz_cam)
+    xyz_world = jnp.einsum("nij,nhwj->nhwi", R_inv, xyz_cam)
+    return _normalize(xyz_world), xyz_cam
+
+
+def get_reflect_dir(orig_dir: jax.Array, pivot_dir: jax.Array, axis: int = -1):
+    """Reflect `orig_dir` around `pivot_dir`: 2 (p.o) p - o, normalized.
+
+    Broadcasts like the reference (camera.py:35-45); `axis` selects the
+    xyz component dimension.
+    """
+    dot = jnp.sum(pivot_dir * orig_dir, axis=axis, keepdims=True)
+    return _normalize(dot * 2.0 * pivot_dir - orig_dir, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Host-side (NumPy) camera-path helpers for test sequences.
+# ---------------------------------------------------------------------------
+
+def rt_from_pos_lookat(
+    cam_pos: np.ndarray,
+    cam_lookat: np.ndarray | None = None,
+    cam_up: np.ndarray | None = None,
+) -> np.ndarray:
+    """4x4 extrinsic from position/look-at/up.  Reference: camera.py:48-69."""
+    cam_lookat = np.zeros(3) if cam_lookat is None else cam_lookat
+    cam_up = np.array([0.0, 1.0, 0.0]) if cam_up is None else cam_up
+    fwd = cam_lookat - cam_pos
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, cam_up)
+    right = right / np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    R = np.stack([right, -up, fwd], axis=0).astype(np.float64)
+    T = -R.dot(cam_pos[:, None])
+    RT = np.concatenate([np.concatenate([R, T], axis=1),
+                         np.array([[0.0, 0.0, 0.0, 1.0]])], axis=0)
+    return RT
+
+
+def get_spiral(step_azi: float = -2.0, step_ele: float = 90.0 / 720):
+    """Azimuth/elevation arrays for the spiral test path (camera.py:72-76)."""
+    num_step = int(np.floor(90.0 / step_ele))
+    cam_pos_azi = np.arange(0, step_azi * num_step, step=step_azi)
+    cam_pos_ele = np.arange(0, step_ele * num_step, step=step_ele)
+    return cam_pos_azi, cam_pos_ele
+
+
+def euler_to_rot(theta: np.ndarray) -> np.ndarray:
+    """Rz @ Ry @ Rx rotation from xyz Euler angles (data_util.py:175-191)."""
+    cx, sx = np.cos(theta[0]), np.sin(theta[0])
+    cy, sy = np.cos(theta[1]), np.sin(theta[1])
+    cz, sz = np.cos(theta[2]), np.sin(theta[2])
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rz @ ry @ rx
