@@ -1,0 +1,193 @@
+"""Dense deep GCN over mesh vertices — the global light-transport prior.
+
+Re-design of the reference `DenseDeepGCN` + `gcn_lib.dense`
+(network.py:256-315, gcn_lib/dense/torch_vertex.py:27-102,
+torch_edge.py:6-83): a head EdgeConv on vertex positions, a stack of
+residual dynamic EdgeConv blocks whose kNN graphs are recomputed from the
+current features with growing dilation (and stochastic dilation sampling
+during training), channel-concat fusion to 1024, a channel-max readout to
+one scalar per vertex, and a spectral-normalized MLP over the vertex
+dimension producing a single global feature vector.
+
+TPU notes: the dense V x V distance matrix is one big MXU matmul
+(7500^2 ~ 56M f32, trivially HBM-resident); `jax.lax.top_k` runs on the
+final axis.  Every EdgeConv is a [V, k, 2C] gather + Dense + max — gather
+bandwidth dominates, so features stay channels-last.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class GCNConfig:
+    """Knobs mirroring the reference CLI flags (train_rnr.py:84-95)."""
+
+    in_channels: int = 6
+    n_filters: int = 64
+    kernel_size: int = 16
+    n_blocks: int = 20
+    conv_type: Literal["edge", "mr"] = "edge"
+    block_type: Literal["res", "dense"] = "res"
+    stochastic: bool = True
+    epsilon: float = 0.2
+    num_v: int = 7500
+    out_channels: int = 512
+
+
+def knn_graph(x: jax.Array, k: int) -> jax.Array:
+    """Indices of the k nearest neighbors (including self) per vertex.
+
+    x: [V, C] -> [V, k] int32.  Matches `dense_knn_matrix`
+    (gcn_lib/dense/torch_edge.py:46-65): full pairwise distances + top-k.
+    """
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)           # [V, 1]
+    dist = sq + sq.T - 2.0 * jax.lax.dot(
+        x, x.T, precision=jax.lax.Precision.HIGHEST
+    )
+    _, idx = jax.lax.top_k(-dist, k)
+    return idx.astype(jnp.int32)
+
+
+def dilate_edges(
+    idx: jax.Array,
+    k: int,
+    dilation: int,
+    stochastic: bool,
+    epsilon: float,
+    rng: jax.Array | None,
+    train: bool,
+) -> jax.Array:
+    """Dilated neighbor selection (gcn_lib/dense/torch_edge.py:6-29).
+
+    idx: [V, k*dilation] -> [V, k].  During training, with probability
+    `epsilon`, pick a random subset of k instead of the ::dilation stride.
+    """
+    strided = idx[:, ::dilation][:, :k]
+    if not (stochastic and train) or rng is None or dilation == 1:
+        return strided
+    r_choice, r_perm = jax.random.split(rng)
+    perm = jax.random.permutation(r_perm, idx.shape[1])[:k]
+    random_pick = idx[:, perm]
+    use_random = jax.random.uniform(r_choice, ()) < epsilon
+    return jnp.where(use_random, random_pick, strided)
+
+
+class EdgeConv(nn.Module):
+    """max_j MLP([x_i || x_j - x_i])  (gcn_lib/dense/torch_vertex.py:23-38)."""
+
+    out_ch: int
+    conv_type: Literal["edge", "mr"] = "edge"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, idx: jax.Array) -> jax.Array:
+        x_j = x[idx]                      # [V, k, C]
+        x_i = x[:, None, :]
+        if self.conv_type == "edge":
+            feat = jnp.concatenate(
+                [jnp.broadcast_to(x_i, x_j.shape), x_j - x_i], axis=-1
+            )
+            h = nn.relu(nn.Dense(self.out_ch)(feat))
+            return jnp.max(h, axis=1)
+        # max-relative conv (MRConv4D): max over neighbors first
+        rel = jnp.max(x_j - x_i, axis=1)
+        feat = jnp.concatenate([x, rel], axis=-1)
+        return nn.relu(nn.Dense(self.out_ch)(feat))
+
+
+class SNDense(nn.Module):
+    """Dense layer with spectral weight normalization.
+
+    Power-iteration vectors live in the 'spectral' variable collection and
+    are advanced one step per training call, mirroring
+    `torch.nn.utils.spectral_norm` (used at network.py:287).
+    """
+
+    features: int
+    power_iters: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
+        in_f = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_f, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        u_var = self.variable(
+            "spectral",
+            "u",
+            lambda: jax.random.normal(jax.random.PRNGKey(0), (self.features,)),
+        )
+        u = u_var.value
+        v = None
+        for _ in range(self.power_iters):
+            v = w @ u
+            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+            u = v @ w
+            u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
+        sigma = jnp.einsum("i,ij,j->", v, w, u)
+        if train and not self.is_initializing():
+            u_var.value = u
+        return x @ (w / sigma) + b
+
+
+class DenseDeepGCN(nn.Module):
+    """Vertex GCN -> one global feature vector (network.py:256-315)."""
+
+    cfg: GCNConfig = GCNConfig()
+
+    @nn.compact
+    def __call__(
+        self, pos: jax.Array, x: jax.Array | None = None, *, train: bool = True
+    ) -> jax.Array:
+        """pos: [V, 3] vertex positions; x: [V, C] features (default pos).
+
+        Returns [1, out_channels] global feature (the reference's
+        `v_feature`).
+        """
+        cfg = self.cfg
+        if x is None:
+            x = pos
+        data = jnp.concatenate([pos, x], axis=-1)  # [V, in_channels]
+
+        # head: static graph from positions
+        idx0 = knn_graph(pos, cfg.kernel_size)
+        feats = [EdgeConv(cfg.n_filters, cfg.conv_type)(data, idx0)]
+
+        for i in range(cfg.n_blocks - 1):
+            dilation = 1 + i
+            h = feats[-1]
+            idx_full = knn_graph(h, cfg.kernel_size * dilation)
+            rng = (
+                self.make_rng("gcn")
+                if (train and cfg.stochastic and self.has_rng("gcn"))
+                else None
+            )
+            idx = dilate_edges(
+                idx_full, cfg.kernel_size, dilation, cfg.stochastic,
+                cfg.epsilon, rng, train,
+            )
+            if cfg.block_type == "res":
+                feats.append(EdgeConv(cfg.n_filters, cfg.conv_type)(h, idx) + h)
+            else:
+                feats.append(
+                    jnp.concatenate(
+                        [h, EdgeConv(cfg.n_filters, cfg.conv_type)(h, idx)],
+                        axis=-1,
+                    )
+                )
+
+        fused = jnp.concatenate(feats, axis=-1)          # [V, n_blocks*C]
+        fused = nn.relu(nn.Dense(1024)(fused))           # fusion_block
+        per_vertex = jnp.max(fused, axis=-1)             # channel max -> [V]
+        h = SNDense(2048)(per_vertex[None, :], train=train)
+        out = SNDense(cfg.out_channels)(h, train=train)
+        return out                                        # [1, out_channels]

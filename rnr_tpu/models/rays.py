@@ -1,0 +1,224 @@
+"""Ray-fan sampling and physically-based ray composition.
+
+Reference: network.py:417-527 (`RaySampler`, `RayRenderer`) and
+network.py:391-411 (`RaysLTChromLoss`).
+
+Layout note: everything here is channels-last.  Per-pixel ray quantities
+use [..., 3, R] (xyz by num_ray) matching the reference; the light
+transport maps use [N, H, W, R, C] instead of the reference's
+[N, R, C, H, W] so the per-ray reductions contract the trailing
+(lane-resident) dims on the VPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rnr_tpu.ops.cameras import euler_to_rot, get_reflect_dir
+from rnr_tpu.ops.spherical import spherical_mapping_batch
+from rnr_tpu.ops.interpolate import interpolate_bilinear_batch
+
+
+@dataclasses.dataclass
+class RaySampler:
+    """Fixed fan of ray pivots around the tangent-space normal.
+
+    num_ray = num_azi * num_polar + 1 (the +1 is the identity pivot).
+    mode='reflect' reflects the per-pixel tangent-space view direction
+    around each pivot (specular fan); mode='diffuse' uses the pivots
+    directly.  Reference: network.py:417-472.
+    """
+
+    num_azi: int
+    num_polar: int
+    interval_polar: float = 5.0
+    mode: str = "reflect"
+
+    def __post_init__(self):
+        roty = (
+            np.arange(1, self.num_polar + 1) * self.interval_polar * np.pi / 180.0
+        )
+        rotz = np.arange(self.num_azi) * 2.0 * np.pi / self.num_azi
+        roty, rotz = np.meshgrid(roty, rotz, sparse=False)
+        rot = np.stack(
+            [np.zeros(roty.size), roty.flatten(), rotz.flatten()], axis=0
+        )  # [3, num_ray-1]
+        self.num_ray = rot.shape[1] + 1
+        Rs = np.zeros((self.num_ray, 3, 3), np.float32)
+        Rs[0] = np.eye(3)
+        for i in range(self.num_ray - 1):
+            Rs[i + 1] = euler_to_rot(rot[:, i])
+        self.Rs = Rs
+        # pivot directions = Rs @ +z, transposed to [3, num_ray]
+        self.pivots_dir = np.einsum("rij,j->ir", Rs, np.array([0.0, 0.0, 1.0]))
+
+    def __call__(
+        self,
+        tbn_matrices: jax.Array,
+        view_dir_tangent: jax.Array,
+        alpha_map: jax.Array,
+    ):
+        """Sample the ray fan per pixel.
+
+        Args:
+          tbn_matrices: [N, ..., 3, 3] tangent->world frames.
+          view_dir_tangent: [N, ..., 3].
+          alpha_map: [N, ..., 1].
+
+        Returns:
+          rays_dir [N, ..., 3, R] world-space,
+          rays_uv [N, ..., 2, R] probe UVs (= -1 at masked pixels),
+          rays_dir_tangent ([N, ..., 3, R] or [3, R] in diffuse mode).
+        """
+        pivots = jnp.asarray(self.pivots_dir)  # [3, R]
+        if self.mode == "reflect":
+            rays_dir_tangent = (
+                get_reflect_dir(view_dir_tangent[..., None], pivots, axis=-2)
+                * alpha_map[..., None]
+            )  # [N, ..., 3, R]
+            rays_dir = jnp.einsum(
+                "...ij,...jr->...ir", tbn_matrices, rays_dir_tangent
+            )
+        else:
+            rays_dir_tangent = pivots
+            rays_dir = jnp.einsum("...ij,jr->...ir", tbn_matrices, pivots)
+
+        rays_dir = rays_dir / jnp.maximum(
+            jnp.linalg.norm(rays_dir, axis=-2, keepdims=True), 1e-12
+        )
+        # [N, 3, ...] expected by the batch spherical mapping: move the xyz
+        # axis to position 1 (reference transposes the same way,
+        # network.py:469).
+        rd = jnp.moveaxis(rays_dir, -2, 1)
+        uv = spherical_mapping_batch(rd)
+        rays_uv = jnp.moveaxis(uv, 1, -2)  # [N, ..., 2, R]
+        masked = (alpha_map[..., None] == 0).astype(rays_uv.dtype)
+        rays_uv = rays_uv * alpha_map[..., None] - masked
+        return rays_dir, rays_uv, rays_dir_tangent
+
+
+def ray_render(
+    albedo_specular: jax.Array,
+    rays_uv: jax.Array,
+    rays_lt: jax.Array,
+    lp: jax.Array,
+    num_ray_diffuse: int = 0,
+    albedo_diffuse: jax.Array | None = None,
+    no_albedo: bool = False,
+    separate_albedo: bool = False,
+    lp_scale_factor: float = 1.0,
+):
+    """Compose the final image from per-ray light transport and a probe.
+
+    Args:
+      albedo_specular: [N, H, W, C].
+      rays_uv: [N, H, W, 2, R] probe UVs (-1 marks masked pixels).
+      rays_lt: [N, H, W, R, C] light transport per ray.
+      lp: [N, Hl, Wl, C] or [1, Hl, Wl, C] light probe.
+      num_ray_diffuse: trailing rays treated as the diffuse fan.
+
+    Returns dict(out, out_specular, out_diffuse, ltt_specular_map,
+    ltt_diffuse_map, rays_color, lp) — the reference's 7-tuple
+    (network.py:481-527).
+    """
+    r_total = rays_uv.shape[-1]
+    r_spec = r_total - num_ray_diffuse
+    lp = lp * lp_scale_factor
+    hl, wl = lp.shape[1], lp.shape[2]
+
+    x = jnp.clip(rays_uv[..., 0, :] * wl, None, wl - 1)
+    y = jnp.clip(rays_uv[..., 1, :] * hl, None, hl - 1)
+    rays_color = interpolate_bilinear_batch(lp, x, y)  # [N, H, W, R, C]
+
+    ltt_specular = (
+        jnp.sum(rays_lt[..., :r_spec, :] * rays_color[..., :r_spec, :], axis=-2)
+        / r_spec
+    )
+    out_specular = ltt_specular if no_albedo else albedo_specular * ltt_specular
+
+    if num_ray_diffuse > 0:
+        ltt_diffuse = (
+            jnp.sum(
+                rays_lt[..., r_spec:, :] * rays_color[..., r_spec:, :], axis=-2
+            )
+            / num_ray_diffuse
+        )
+        if no_albedo:
+            out_diffuse = ltt_diffuse
+        elif separate_albedo:
+            if albedo_diffuse is None:
+                raise ValueError("separate_albedo requires albedo_diffuse")
+            out_diffuse = albedo_diffuse * ltt_diffuse
+        else:
+            out_diffuse = albedo_specular * ltt_diffuse
+    else:
+        ltt_diffuse = jnp.zeros_like(ltt_specular)
+        out_diffuse = jnp.zeros_like(out_specular)
+
+    return {
+        "out": out_specular + out_diffuse,
+        "out_specular": out_specular,
+        "out_diffuse": out_diffuse,
+        "ltt_specular_map": ltt_specular,
+        "ltt_diffuse_map": ltt_diffuse,
+        "rays_color": rays_color,
+        "lp": lp,
+    }
+
+
+class RayRenderer:
+    """Thin stateful wrapper pairing a lighting model with `ray_render`.
+
+    Mirrors the reference module interface (network.py:475-527); the
+    lighting model supplies the probe when `lp` is not given.
+    """
+
+    def __init__(self, lighting_apply):
+        # lighting_apply(lighting_idx, is_lp=True) -> [1, H, W, C]
+        self.lighting_apply = lighting_apply
+
+    def __call__(self, albedo_specular, rays_uv, rays_lt, lighting_idx=None,
+                 lp=None, **kw):
+        if lp is None:
+            lp = self.lighting_apply(lighting_idx, is_lp=True)
+        return ray_render(albedo_specular, rays_uv, rays_lt, lp, **kw)
+
+
+def rays_lt_chrom_loss(
+    rays_lt: jax.Array,
+    alpha_map: jax.Array,
+    img: jax.Array | None = None,
+):
+    """White-light-transport chromaticity prior (network.py:391-411).
+
+    Args:
+      rays_lt: [N, H, W, R, C].
+      alpha_map: [N, H, W, 1].
+      img: optional [N, H, W, C] for intensity weighting.
+
+    Returns (loss, chrom, chrom_mean, chrom_diff).
+    """
+    chrom = rays_lt / jnp.maximum(
+        jnp.linalg.norm(rays_lt, axis=-1, keepdims=True), 1e-12
+    )
+    chrom_mean = jnp.mean(chrom, axis=-2, keepdims=True)
+    chrom_mean = chrom_mean / jnp.maximum(
+        jnp.linalg.norm(chrom_mean, axis=-1, keepdims=True), 1e-12
+    )
+    diff = (1.0 - jnp.sum(chrom * chrom_mean, axis=-1)) * alpha_map  # [N,H,W,R]
+    if img is not None:
+        weight = jnp.clip(
+            jnp.linalg.norm(img, axis=-1, keepdims=True) * 20.0, None, 1.0
+        )
+        diff = diff * weight
+    loss = (
+        jnp.sum(diff)
+        / jnp.maximum(jnp.sum(alpha_map), 1.0)
+        / rays_lt.shape[-2]
+    )
+    return loss, chrom, chrom_mean, diff

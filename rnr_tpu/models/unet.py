@@ -1,0 +1,282 @@
+"""Deferred-rendering U-Net with GCN feature fusion.
+
+Architecture parity with the reference generator
+(pytorch_prototyping/pytorch_prototyping.py:96-536): reflect-padded 3x3
+in/out convs, DownBlock = [3x3 conv, norm, LeakyReLU(0.2), dropout] +
+[4x4 stride-2 conv, norm, LeakyReLU, dropout], UpBlock = 4x4 stride-2
+transpose conv + 3x3 post conv, per-level skip concatenation, innermost
+level norm-free, and fusion of a global GCN feature vector at the
+outermost level.
+
+Design departures (deliberate, TPU-first):
+  * NHWC layout, channels-last convs (MXU-friendly).
+  * Norm options: "batch" uses *current-batch* statistics with no running
+    averages — this matches the reference's observed behavior exactly,
+    since it keeps BatchNorm in train mode even at inference
+    (test_rnr.py:229-233), and removes all cross-replica state.  "group"
+    is the recommended stateless alternative.
+  * The reference's outermost block computes the GCN fusion branch and
+    then unconditionally overwrites it with the plain branch
+    (pytorch_prototyping.py:407-419 — the `if self.gcn:` result `y` is
+    shadowed by the following `if self.flag_outer:` recompute), making the
+    fusion a silent no-op in the shipped code.  Here the fusion is
+    *active* as the paper intends; pass use_gcn=False for shipped-code
+    parity.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+NormKind = Literal["batch", "group", "none"]
+
+
+def _reflect_pad(x: jax.Array, p: int) -> jax.Array:
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+
+
+class BatchActNorm(nn.Module):
+    """Affine normalization by current-batch statistics over (N, H, W).
+
+    Equivalent to BatchNorm permanently in training mode — the reference's
+    effective semantics (it never switches `render_net` to eval BN stats,
+    test_rnr.py:229-233).  Stateless: no running averages to synchronize
+    across data-parallel replicas; under pjit the mean/var reductions
+    become cross-replica psums automatically when the batch axis is
+    sharded.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+def _make_norm(kind: NormKind):
+    if kind == "batch":
+        return BatchActNorm()
+    if kind == "group":
+        return nn.GroupNorm(num_groups=None, group_size=16)
+    return None
+
+
+class DownBlock(nn.Module):
+    """[3x3 conv prep] + [kxk stride-s conv], reflect-padded, norm+LeakyReLU.
+
+    Reference: pytorch_prototyping.py:209-277.
+    """
+
+    out_ch: int
+    prep_conv: bool = True
+    middle_ch: int | None = None
+    norm: NormKind = "batch"
+    use_dropout: bool = False
+    dropout_prob: float = 0.1
+    stride: int = 2
+    kernel: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
+        use_bias = self.norm == "none"
+        if self.prep_conv:
+            mid = self.middle_ch or x.shape[-1]
+            x = _reflect_pad(x, 1)
+            x = nn.Conv(mid, (3, 3), padding="VALID", use_bias=use_bias)(x)
+            if (norm := _make_norm(self.norm)) is not None:
+                x = norm(x)
+            x = nn.leaky_relu(x, 0.2)
+            if self.use_dropout:
+                x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
+        x = _reflect_pad(x, 1)
+        x = nn.Conv(
+            self.out_ch,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="VALID",
+            use_bias=use_bias,
+        )(x)
+        if (norm := _make_norm(self.norm)) is not None:
+            x = norm(x)
+        x = nn.leaky_relu(x, 0.2)
+        if self.use_dropout:
+            x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
+        return x
+
+
+class UpBlock(nn.Module):
+    """4x4 stride-2 transpose conv + 3x3 post conv, norm+ReLU.
+
+    Reference: pytorch_prototyping.py:124-206 (upsampling_mode='transpose').
+    """
+
+    out_ch: int
+    post_conv: bool = True
+    norm: NormKind = "batch"
+    use_dropout: bool = False
+    dropout_prob: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
+        use_bias = self.norm == "none"
+        x = nn.ConvTranspose(
+            self.out_ch, (4, 4), strides=(2, 2), padding="SAME",
+            use_bias=use_bias,
+        )(x)
+        if (norm := _make_norm(self.norm)) is not None:
+            x = norm(x)
+        x = nn.relu(x)
+        if self.use_dropout:
+            x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
+        if self.post_conv:
+            x = _reflect_pad(x, 1)
+            x = nn.Conv(self.out_ch, (3, 3), padding="VALID", use_bias=use_bias)(x)
+            if (norm := _make_norm(self.norm)) is not None:
+                x = norm(x)
+            x = nn.relu(x)
+            if self.use_dropout:
+                x = nn.Dropout(0.1, deterministic=not train)(x)
+        return x
+
+
+class Unet(nn.Module):
+    """Skip-connected encoder/decoder with optional GCN fusion.
+
+    Reference: pytorch_prototyping.py:432-536 (iteratively unrolled here
+    instead of the recursive module nesting; identical data flow).
+    """
+
+    in_channels: int
+    out_channels: int
+    nf0: int = 64
+    num_down: int = 5
+    max_channels: int = 512
+    use_dropout: bool = True
+    dropout_prob: float = 0.1
+    norm: NormKind = "batch"
+    outermost_linear: bool = True
+    out_channels_gcn: int = 512
+    use_gcn: bool = True
+    outermost_highway_mode: Literal["concat", "residual", "no_highway"] = "concat"
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, v_fea: jax.Array | None = None, *, train: bool = True
+    ) -> jax.Array:
+        nd = self.num_down
+        chs = [self.nf0] + [
+            min(2 ** (i + 1) * self.nf0, self.max_channels) for i in range(nd)
+        ]
+
+        # in layer (pytorch_prototyping.py:470-481)
+        use_bias_in = self.norm == "none"
+        h = _reflect_pad(x, 1)
+        h = nn.Conv(self.nf0, (3, 3), padding="VALID", use_bias=use_bias_in)(h)
+        if (norm := _make_norm(self.norm)) is not None:
+            h = norm(h)
+        h = nn.leaky_relu(h, 0.2)
+        if self.use_dropout:
+            h = nn.Dropout(self.dropout_prob, deterministic=not train)(h)
+
+        # encoder
+        skips = []
+        for i in range(nd):
+            skips.append(h)
+            level_norm: NormKind = "none" if i == nd - 1 else self.norm
+            h = DownBlock(
+                chs[i + 1],
+                norm=level_norm,
+                use_dropout=self.use_dropout,
+                dropout_prob=self.dropout_prob,
+            )(h, train=train)
+            if i == 0 and self.use_gcn:
+                if v_fea is None:
+                    raise ValueError("use_gcn=True requires v_fea")
+                tiled = jnp.broadcast_to(
+                    v_fea[:, None, None, :],
+                    (h.shape[0], h.shape[1], h.shape[2], v_fea.shape[-1]),
+                )
+                h = jnp.concatenate([h, tiled], axis=-1)
+                # stride-1 fusion conv (pytorch_prototyping.py:396)
+                h = DownBlock(
+                    chs[1],
+                    norm=self.norm,
+                    use_dropout=self.use_dropout,
+                    dropout_prob=self.dropout_prob,
+                    stride=1,
+                    kernel=3,
+                )(h, train=train)
+
+        # decoder with per-level skip concat
+        for i in reversed(range(nd)):
+            level_norm = "none" if i == nd - 1 else self.norm
+            h = UpBlock(
+                chs[i],
+                norm=level_norm,
+                use_dropout=self.use_dropout,
+                dropout_prob=self.dropout_prob,
+            )(h, train=train)
+            if i == 0:
+                mode = self.outermost_highway_mode
+            else:
+                mode = "concat"
+            if mode == "concat":
+                h = jnp.concatenate([skips[i], h], axis=-1)
+            elif mode == "residual":
+                h = skips[i] + h
+            # no_highway: keep h
+
+        # out layer (pytorch_prototyping.py:508-528)
+        out_bias = self.outermost_linear or self.norm == "none"
+        h = _reflect_pad(h, 1)
+        h = nn.Conv(self.out_channels, (3, 3), padding="VALID", use_bias=out_bias)(h)
+        if not self.outermost_linear:
+            if (norm := _make_norm(self.norm)) is not None:
+                h = norm(h)
+            h = nn.relu(h)
+            if self.use_dropout:
+                h = nn.Dropout(self.dropout_prob, deterministic=not train)(h)
+        return h
+
+
+class RenderingNet(nn.Module):
+    """U-Net + tanh output head (reference: network.py:219-253)."""
+
+    nf0: int
+    in_channels: int
+    out_channels: int
+    num_down_unet: int = 5
+    out_channels_gcn: int = 512
+    use_gcn: bool = True
+    outermost_highway_mode: str = "concat"
+    norm: NormKind = "batch"
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, v_fea: jax.Array | None = None, *, train: bool = True
+    ) -> jax.Array:
+        y = Unet(
+            in_channels=self.in_channels,
+            out_channels=self.out_channels,
+            nf0=self.nf0,
+            num_down=self.num_down_unet,
+            max_channels=8 * self.nf0,
+            use_dropout=True,
+            dropout_prob=0.1,
+            norm=self.norm,
+            outermost_linear=True,
+            out_channels_gcn=self.out_channels_gcn,
+            use_gcn=self.use_gcn,
+            outermost_highway_mode=self.outermost_highway_mode,  # type: ignore[arg-type]
+        )(x, v_fea, train=train)
+        return jnp.tanh(y)
