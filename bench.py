@@ -1,0 +1,95 @@
+"""Benchmark: full RNR training step (fwd+bwd) at 512x512 on one chip.
+
+Canonical configuration per the reference's shipped scripts (BASELINE.md):
+512px images, 512^2 x 24ch neural texture with 4 mipmap levels, SH lmax 10
+(121 basis, 4096 sphere samples), 13 specular + 13 diffuse rays, U-Net
+nf0=64 with 5 downs, GCN 20 blocks k=16 over 7500 vertices, batch 1, Adam.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+The reference repo publishes no benchmark numbers (BASELINE.md) —
+vs_baseline is reported against a nominal 1.0 frames/s reference-class
+anchor so round-over-round progress is comparable.
+
+Env overrides: BENCH_IMG_SIZE, BENCH_STEPS, BENCH_GCN_BLOCKS, BENCH_V.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build
+    from rnr_tpu.train import create_rnr_state, make_rnr_train_step
+    from rnr_tpu.train.steps import rnr_texture_flatten_init
+
+    img_size = int(os.environ.get("BENCH_IMG_SIZE", 512))
+    steps = int(os.environ.get("BENCH_STEPS", 5))
+    gcn_blocks = int(os.environ.get("BENCH_GCN_BLOCKS", 20))
+    gcn_v = int(os.environ.get("BENCH_V", 7500))
+
+    cfg, model, batch = _build(
+        img_size=img_size,
+        tex_size=512,
+        lmax=10,
+        num_sample=4096,
+        nf0=64,
+        num_down=5,
+        gcn_blocks=gcn_blocks,
+        gcn_v=gcn_v,
+        num_azi=6,
+        num_polar=2,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    state, tx = create_rnr_state(model, rng, batch, cfg.train.lr)
+    nprng = np.random.default_rng(1)
+    statics = {
+        "l_samples_init": jnp.asarray(
+            nprng.uniform(0, 1, (4096, 3)).astype(np.float32)
+        ),
+        "l_samples_mask": jnp.asarray(
+            (nprng.uniform(size=4096) > 0.3).astype(np.float32)
+        ),
+        "tex_flatten_init": rnr_texture_flatten_init(model, state.params),
+    }
+    step = make_rnr_train_step(model, tx)
+
+    # compile + warmup
+    for i in range(2):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, statics, sub)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, statics, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    fps = steps / dt
+    baseline_fps = 1.0  # nominal anchor; reference publishes no numbers
+    print(
+        json.dumps(
+            {
+                "metric": f"rnr_train_{img_size}x{img_size}_frames_per_s_per_chip_fwdbwd",
+                "value": round(fps, 4),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline_fps, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

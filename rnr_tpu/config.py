@@ -1,0 +1,179 @@
+"""Configuration dataclasses — the knob surface of the framework.
+
+Mirrors the reference's argparse flag sets (train_rnr.py:27-116,
+train_dnr.py, precompute.py, test_rnr.py) as typed dataclasses.  Drivers
+build these from CLI args and snapshot them to `params.json` in the log
+dir (the counterpart of the reference's `params.txt`, which doubles as the
+inference-time config source, test_rnr.py:53-79).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TextureConfig:
+    texture_size: int = 512
+    texture_num_ch: int = 24
+    mipmap_level: int = 4
+    init_tex: bool = False
+    fix_tex: bool = False
+    apply_sh: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class LightingConfig:
+    sh_lmax: int = 10
+    num_sample: int = 4096
+    num_lighting: int = 1
+    lighting_idx: int | None = None
+    lighting_relight_idx: int | None = None
+    fix_lighting: bool = False
+    init_lighting: bool = True
+    lp_recon_h: int = 256
+    lp_recon_w: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class RaysConfig:
+    num_azi: int = 6
+    num_polar: int = 2
+    interval_polar_specular: float = 5.0
+    interval_polar_diffuse: float = 10.0
+    lt_max_val: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GCNTrainConfig:
+    in_channels: int = 6
+    kernel_size: int = 16
+    block_type: str = "res"
+    conv_type: str = "edge"
+    n_filters: int = 64
+    n_blocks: int = 20
+    epsilon: float = 0.2
+    stochastic: bool = True
+    out_channels: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderNetConfig:
+    nf0: int = 64
+    num_down_unet: int = 5
+    norm: str = "batch"  # "batch" | "group" | "none"
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    loss_lighting_weight: float = 1.0
+    loss_lighting_uncovered_weight: float = 0.1
+    loss_rays_lt_chrom_weight: float = 1.0
+    loss_alb_weight: float = 1.0
+    border_crop: int = 5  # pixels excluded from the image loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-3
+    batch_size: int = 1
+    max_epoch: int = 2000
+    max_iter: int | None = None
+    sampling_pattern: str = "all"
+    sampling_pattern_val: str = "all"
+    val_freq: int = 1000
+    log_freq: int = 100
+    ckp_freq: int = 5000
+    img_size: int = 512
+    img_gamma: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RNRConfig:
+    texture: TextureConfig = TextureConfig()
+    lighting: LightingConfig = LightingConfig()
+    rays: RaysConfig = RaysConfig()
+    gcn: GCNTrainConfig = GCNTrainConfig()
+    render_net: RenderNetConfig = RenderNetConfig()
+    loss: LossConfig = LossConfig()
+    train: TrainConfig = TrainConfig()
+    use_gcn: bool = True
+
+    @property
+    def num_ray_specular(self) -> int:
+        return self.rays.num_azi * self.rays.num_polar + 1
+
+    @property
+    def num_ray_diffuse(self) -> int:
+        return self.rays.num_azi * self.rays.num_polar + 1
+
+    @property
+    def num_ray_total(self) -> int:
+        return self.num_ray_specular + self.num_ray_diffuse
+
+    @property
+    def render_net_in_channels(self) -> int:
+        # rays_dir (3 per ray) + normal(3) + view_dir(3) + neural texture
+        return self.num_ray_total * 3 + 6 + self.texture.texture_num_ch
+
+    @property
+    def render_net_out_channels(self) -> int:
+        return 3 * self.num_ray_total
+
+
+@dataclasses.dataclass(frozen=True)
+class DNRConfig:
+    texture: TextureConfig = TextureConfig(texture_num_ch=30, apply_sh=True)
+    render_net: RenderNetConfig = RenderNetConfig()
+    loss: LossConfig = LossConfig()
+    train: TrainConfig = TrainConfig()
+    sh_start_ch: int = 3
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def save_config(cfg: Any, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(to_dict(cfg), f, indent=2, default=str)
+
+
+def _from_dict(cls, d: dict):
+    kwargs = {}
+    for field in dataclasses.fields(cls):
+        if field.name not in d:
+            continue
+        v = d[field.name]
+        if dataclasses.is_dataclass(field.type) and isinstance(v, dict):
+            kwargs[field.name] = _from_dict(field.type, v)
+        else:
+            kwargs[field.name] = v
+    return cls(**kwargs)
+
+
+def load_config(cls, path: str):
+    with open(path) as f:
+        d = json.load(f)
+    # resolve nested dataclass fields by name
+    field_types = {
+        "texture": TextureConfig,
+        "lighting": LightingConfig,
+        "rays": RaysConfig,
+        "gcn": GCNTrainConfig,
+        "render_net": RenderNetConfig,
+        "loss": LossConfig,
+        "train": TrainConfig,
+    }
+    kwargs = {}
+    for field in dataclasses.fields(cls):
+        if field.name not in d:
+            continue
+        v = d[field.name]
+        if field.name in field_types and isinstance(v, dict):
+            kwargs[field.name] = _from_dict(field_types[field.name], v)
+        else:
+            kwargs[field.name] = v
+    return cls(**kwargs)

@@ -1,0 +1,224 @@
+"""Free-viewpoint (re)lighting inference driver.
+
+Counterpart of reference `test_rnr.py`: loads a training checkpoint +
+config snapshot, rasterizes each test view on the fly (full G-buffer in
+one XLA program — no precompute dependency), runs the RNR forward under
+one or many lightings (novel probes supported via --lp_dir), composites an
+optional probe background, writes PNGs and prints per-stage timings
+(t_raster / t_preproc / t_network_render).
+
+Usage:
+  python -m rnr_tpu.drivers.test_rnr --data_root DATA \
+      --checkpoint_dir LOGDIR [--lighting_idx 0] [--lp_dir _/light_probe]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from rnr_tpu.drivers.common import (
+    resolve, cond_mkdir, setup_jax, save_png, load_sphere_samples,
+)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--checkpoint_dir", required=True,
+                   help="training log dir holding params.json + *.ckpt")
+    p.add_argument("--checkpoint_name", type=str, default="model_final.ckpt")
+    p.add_argument("--calib_fp", type=str, default="_/calib.mat")
+    p.add_argument("--obj_high_fp", type=str, default="_/mesh.obj")
+    p.add_argument("--obj_gcn_fp", type=str, default="_/mesh_7500v.obj")
+    p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--img_gamma", type=float, default=1.0)
+    p.add_argument("--sampling_pattern", type=str, default="all")
+    p.add_argument("--lighting_idx", type=int, default=None,
+                   help="render under this learned lighting (default: all)")
+    p.add_argument("--lp_dir", type=str, default=None,
+                   help="directory of novel light probes to relight with")
+    p.add_argument("--sphere_samples_fp", type=str,
+                   default="./sphere_samples_4096.mat")
+    p.add_argument("--save_lp_background", default=False,
+                   type=lambda x: str(x).lower() in ["true", "1"])
+    p.add_argument("--out_dir", type=str, default=None)
+    p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--force_visible", default=False,
+                   type=lambda x: str(x).lower() in ["true", "1"])
+    return p
+
+
+def main(argv=None) -> None:
+    opt = build_argparser().parse_args(argv)
+    setup_jax(opt.platform)
+
+    import cv2
+    import scipy.io
+    import jax
+    import jax.numpy as jnp
+
+    from rnr_tpu.config import RNRConfig, load_config
+    from rnr_tpu.data import Mesh, ViewDataset, LightProbeDataset, load_obj
+    from rnr_tpu.models.rnr import RNRModel
+    from rnr_tpu.models.lighting import LightingLP
+    from rnr_tpu.ops.gbuffer import make_mesh_buffers, render_gbuffer
+    from rnr_tpu.ops.spherical import spherical_mapping
+    from rnr_tpu.ops.interpolate import interpolate_bilinear
+    from rnr_tpu.train import create_rnr_state, load_checkpoint
+    from rnr_tpu.train.steps import make_rnr_eval_step
+
+    opt.calib_fp = resolve(opt.calib_fp, opt.data_root)
+    opt.obj_high_fp = resolve(opt.obj_high_fp, opt.data_root)
+    opt.obj_gcn_fp = resolve(opt.obj_gcn_fp, opt.data_root)
+    opt.lp_dir = resolve(opt.lp_dir, opt.data_root)
+
+    # config + checkpoint (reference rebuilds modules from params.txt,
+    # test_rnr.py:53-79)
+    cfg: RNRConfig = load_config(
+        RNRConfig, os.path.join(opt.checkpoint_dir, "params.json")
+    )
+    l_dir = load_sphere_samples(
+        resolve(opt.sphere_samples_fp, opt.data_root)
+    )
+    model = RNRModel(cfg=cfg, l_dir=l_dir)
+
+    calib = scipy.io.loadmat(opt.calib_fp)
+    global_RT = calib["global_RT"].astype(np.float32)
+    mesh = Mesh(opt.obj_high_fp, global_RT=global_RT)
+    mesh_buf = make_mesh_buffers(mesh)
+    gcn_pos = load_obj(opt.obj_gcn_fp).v
+
+    ds = ViewDataset(
+        root_dir=opt.data_root, calib_path=opt.calib_fp,
+        img_dir=None, load_img=False,
+        img_size=(opt.img_size, opt.img_size),
+        sampling_pattern=opt.sampling_pattern,
+    )
+
+    # rebuild state structure and restore
+    ds.buffer_one()
+    v0 = ds.views_all[0]
+    t0 = time.time()
+    gb0 = _gbuffer(render_gbuffer, mesh_buf, v0, opt.img_size)
+    batch0 = _to_batch(gb0, gcn_pos)
+    state, _ = create_rnr_state(
+        model, jax.random.PRNGKey(0), batch0, cfg.train.lr
+    )
+    state = load_checkpoint(
+        os.path.join(opt.checkpoint_dir, opt.checkpoint_name), state
+    )
+    print(f"restored checkpoint ({time.time() - t0:.1f}s)")
+
+    eval_step = make_rnr_eval_step(model)
+
+    # lightings to render under
+    lps = []
+    if opt.lp_dir is not None and os.path.isdir(opt.lp_dir):
+        lp_ds = LightProbeDataset(opt.lp_dir, img_gamma=opt.img_gamma)
+        lp_ds.buffer_all()
+        for i in range(len(lp_ds)):
+            lps.append(("novel%02d" % i, jnp.asarray(lp_ds[i]["lp_img"][None])))
+    elif opt.lighting_idx is not None:
+        variables = {
+            "params": state.params, "constants": state.constants,
+            "spectral": state.spectral,
+        }
+        lp = model.apply(
+            variables, opt.lighting_idx, True,
+            method=lambda m, i, l: m.lighting(i, is_lp=l),
+        )
+        lps.append((f"learned{opt.lighting_idx}", lp))
+    else:
+        variables = {
+            "params": state.params, "constants": state.constants,
+            "spectral": state.spectral,
+        }
+        for i in range(cfg.lighting.num_lighting):
+            lp = model.apply(
+                variables, i, True,
+                method=lambda m, idx, l: m.lighting(idx, is_lp=l),
+            )
+            lps.append((f"learned{i}", lp))
+
+    out_dir = opt.out_dir or os.path.join(
+        opt.checkpoint_dir, f"test_seq_{opt.sampling_pattern}"
+    )
+    for name, _ in lps:
+        cond_mkdir(os.path.join(out_dir, name))
+
+    print(f"rendering {len(ds)} views under {len(lps)} lightings")
+    for i in range(len(ds)):
+        view = ds.read_view(i)
+        t0 = time.time()
+        gb = _gbuffer(render_gbuffer, mesh_buf, view, opt.img_size)
+        jax.block_until_ready(gb["alpha_map"])
+        t_raster = time.time() - t0
+
+        t0 = time.time()
+        batch = _to_batch(gb, gcn_pos)
+        t_prep = time.time() - t0
+
+        t0 = time.time()
+        for name, lp in lps:
+            out = eval_step(state, batch, lp_override=lp, relight=True)
+            img = np.asarray(out["img"][0])
+            alpha = np.asarray(gb["alpha_map"][0])[..., None]
+            img = img * alpha
+            if opt.save_lp_background:
+                # probe lookup along the camera rays (test_rnr.py:380-393)
+                vd = jnp.asarray(np.asarray(gb["view_dir_map"][0]))
+                uv = spherical_mapping(-jnp.moveaxis(vd, -1, 0))
+                lp0 = lp[0]
+                bgx = jnp.clip(uv[0] * lp0.shape[1], None, lp0.shape[1] - 1)
+                bgy = jnp.clip(uv[1] * lp0.shape[0], None, lp0.shape[0] - 1)
+                bg = np.asarray(interpolate_bilinear(lp0, bgx, bgy))
+                img = img + bg * (1.0 - alpha)
+            save_png(
+                os.path.join(out_dir, name, view["img_fn"].split(".")[0] + ".png"),
+                img,
+            )
+        t_net = time.time() - t0
+        print(
+            f"view {i:04d}  t_raster {t_raster:.3f}  t_prep {t_prep:.3f}  "
+            f"t_network_render {t_net:.3f}"
+        )
+    print("wrote", out_dir)
+
+
+def _gbuffer(render_gbuffer, mesh_buf, view, img_size):
+    import jax.numpy as jnp
+
+    return render_gbuffer(
+        mesh_buf,
+        jnp.asarray(view["proj"][None]),
+        jnp.asarray(view["pose"][None]),
+        jnp.asarray(view["dist_coeffs"][None, :5]),
+        None,
+        None,
+        img_size,
+    )
+
+
+def _to_batch(gb, gcn_pos):
+    import jax.numpy as jnp
+
+    return {
+        "uv_map": gb["uv_map"],
+        "sh_basis_map": gb["sh_basis_map"][..., :9],
+        "normal_map": gb["normal_map"],
+        "view_dir_map": gb["view_dir_map"],
+        "view_dir_map_tangent": gb["view_dir_map_tangent"],
+        "TBN_map": gb["TBN_map"],
+        "alpha_map": gb["alpha_map"][..., None],
+        "img_gt": jnp.zeros_like(gb["normal_map"]),
+        "gcn_pos": jnp.asarray(gcn_pos),
+    }
+
+
+if __name__ == "__main__":
+    main()

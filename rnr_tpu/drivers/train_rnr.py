@@ -1,0 +1,585 @@
+"""Relightable Neural Renderer training driver.
+
+Counterpart of reference `train_rnr.py`: full RNR training with SH
+lighting estimation, GCN light-transport prior, specular+diffuse ray fans
+and the four-loss objective, plus per-iteration metrics, a relighting
+validation channel and periodic checkpoints.  One jit-compiled step, one
+Adam over everything.
+
+Adds `--synthetic` for data-free smoke runs and `--platform cpu`.
+
+Usage:
+  python -m rnr_tpu.drivers.train_rnr --data_root DATA --lighting_idx 0 \
+      --lighting_relight_idx 1 [--sampling_pattern skipinv_10] ...
+  python -m rnr_tpu.drivers.train_rnr --synthetic --max_iter 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import time
+
+import numpy as np
+
+from rnr_tpu.drivers.common import (
+    resolve, cond_mkdir, setup_jax, save_png, load_sphere_samples,
+)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # general / paths (train_rnr.py:30-46)
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--logging_root", type=str, default=None)
+    p.add_argument("--calib_fp", type=str, default="_/calib.mat")
+    p.add_argument("--obj_high_fp", type=str, default="_/mesh.obj")
+    p.add_argument("--obj_low_fp", type=str, default="_/mesh_7500v.obj")
+    p.add_argument("--obj_gcn_fp", type=str, default="_/mesh_7500v.obj")
+    p.add_argument("--tex_fp", type=str, default="_/tex.png")
+    # view data
+    p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--img_gamma", type=float, default=1.0)
+    # texture
+    p.add_argument("--texture_size", type=int, default=512)
+    p.add_argument("--texture_num_ch", type=int, default=24)
+    p.add_argument("--mipmap_level", type=int, default=4)
+    p.add_argument("--init_tex", default=False,
+                   type=lambda x: str(x).lower() in ["true", "1"])
+    p.add_argument("--fix_tex", default=False,
+                   type=lambda x: str(x).lower() in ["true", "1"])
+    p.add_argument("--apply_sh", default=True,
+                   type=lambda x: str(x).lower() in ["true", "1"])
+    # lighting
+    p.add_argument("--lp_dir", type=str, default=None)
+    p.add_argument("--sphere_samples_fp", type=str,
+                   default="./sphere_samples_4096.mat")
+    p.add_argument("--sh_lmax", type=int, default=10)
+    p.add_argument("--fix_lighting", default=False,
+                   type=lambda x: str(x).lower() in ["true", "1"])
+    p.add_argument("--init_lighting", default=True,
+                   type=lambda x: str(x).lower() in ["true", "1"])
+    p.add_argument("--lighting_idx", default=None, type=int)
+    p.add_argument("--lighting_relight_idx", default=None, type=int)
+    # render net
+    p.add_argument("--nf0", type=int, default=64)
+    # gcn (train_rnr.py:84-95)
+    p.add_argument("--kernel_size", default=16, type=int)
+    p.add_argument("--n_filters", default=64, type=int)
+    p.add_argument("--n_blocks", default=20, type=int)
+    p.add_argument("--epsilon", default=0.2, type=float)
+    p.add_argument("--stochastic", default=True, type=bool)
+    p.add_argument("--out_channels_gcn", default=512, type=int)
+    p.add_argument("--use_gcn", default=True,
+                   type=lambda x: str(x).lower() in ["true", "1"])
+    # losses
+    p.add_argument("--loss_lighting_weight", type=float, default=1.0)
+    p.add_argument("--loss_lighting_uncovered_weight", type=float, default=0.1)
+    p.add_argument("--loss_rays_lt_chrom_weight", type=float, default=1.0)
+    p.add_argument("--loss_alb_weight", type=float, default=1.0)
+    # training
+    p.add_argument("--max_epoch", type=int, default=2000)
+    p.add_argument("--max_iter", type=int, default=None)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--sampling_pattern", type=str, default="all")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--sampling_pattern_val", type=str, default="all")
+    p.add_argument("--val_freq", type=int, default=1000)
+    p.add_argument("--exp_name", type=str, default="")
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--log_freq", type=int, default=100)
+    p.add_argument("--ckp_freq", type=int, default=5000)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    # multi-chip
+    p.add_argument("--mesh_devices", type=int, default=None,
+                   help="shard the step over the first N devices")
+    p.add_argument("--mesh_dp", type=int, default=1)
+    return p
+
+
+VIEW_KEYS = (
+    "uv_map", "sh_basis_map", "normal_map", "view_dir_map",
+    "view_dir_map_tangent", "TBN_map",
+)
+
+
+def make_rnr_batch(views: list[dict], gcn_pos: np.ndarray):
+    import jax.numpy as jnp
+
+    batch = {
+        k: jnp.asarray(np.stack([np.asarray(v[k]) for v in views]))
+        for k in VIEW_KEYS
+    }
+    batch["alpha_map"] = jnp.asarray(
+        np.stack([np.asarray(v["alpha_map"]) for v in views])
+    )[..., None]
+    batch["img_gt"] = jnp.asarray(
+        np.stack([np.asarray(v["img_gt"]) for v in views])
+    )
+    batch["gcn_pos"] = jnp.asarray(gcn_pos)
+    return batch
+
+
+def _synthetic_views(rng, n, s):
+    views = []
+    for _ in range(n):
+        normal = rng.standard_normal((s, s, 3)).astype(np.float32)
+        normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+        views.append(
+            {
+                "uv_map": rng.uniform(0, 1, (s, s, 2)).astype(np.float32),
+                "sh_basis_map": rng.uniform(-1, 1, (s, s, 9)).astype(np.float32),
+                "normal_map": normal,
+                "view_dir_map": normal.copy(),
+                "view_dir_map_tangent": np.broadcast_to(
+                    np.asarray([0, 0, 1], np.float32), (s, s, 3)
+                ).copy(),
+                "TBN_map": np.broadcast_to(
+                    np.eye(3, dtype=np.float32), (s, s, 3, 3)
+                ).copy(),
+                "alpha_map": np.ones((s, s), np.float32),
+                "img_gt": rng.uniform(0, 1, (s, s, 3)).astype(np.float32),
+            }
+        )
+    return views
+
+
+def main(argv=None) -> None:
+    opt = build_argparser().parse_args(argv)
+    setup_jax(opt.platform)
+
+    import jax
+    import jax.numpy as jnp
+    from rnr_tpu.config import (
+        RNRConfig, TextureConfig, LightingConfig, RaysConfig,
+        GCNTrainConfig, RenderNetConfig, LossConfig, TrainConfig,
+        save_config,
+    )
+    from rnr_tpu.models.rnr import RNRModel
+    from rnr_tpu.models.lighting import LightingLP
+    from rnr_tpu.ops.sh import evaluate_sh_basis, fit_sh_coeff
+    from rnr_tpu.ops.interpolate import interpolate_bilinear
+    from rnr_tpu.ops.spherical import spherical_mapping
+    from rnr_tpu.train import (
+        create_rnr_state, make_rnr_train_step, make_rnr_eval_step,
+        save_checkpoint, load_checkpoint,
+    )
+    from rnr_tpu.train.steps import rnr_texture_flatten_init
+    from rnr_tpu.ops.metrics import masked_err_metrics
+
+    synthetic = opt.synthetic
+    has_lighting_gt = opt.lighting_idx is not None
+    lighting_idx = opt.lighting_idx if opt.lighting_idx is not None else 0
+    has_relight = opt.lighting_relight_idx is not None
+
+    # ------------- light directions -------------
+    sphere_fp = resolve(opt.sphere_samples_fp, opt.data_root or ".")
+    l_dir = load_sphere_samples(sphere_fp)  # [3, S]
+    num_sample = l_dir.shape[1]
+
+    # ------------- data -------------
+    if synthetic:
+        s = opt.img_size
+        rng_np = np.random.default_rng(opt.seed)
+        train_views = _synthetic_views(rng_np, 6, s)
+        val_views = _synthetic_views(rng_np, 2, s)
+        gcn_pos = rng_np.standard_normal((512, 3)).astype(np.float32)
+        num_lighting = 2
+        l_samples_init = rng_np.uniform(0, 1, (num_sample, 3)).astype(np.float32)
+        l_samples_mask = (rng_np.uniform(size=num_sample) > 0.3).astype(np.float32)
+        init_coeff = None
+        texture_init = None
+        lp_relight = None
+        relight_views = None
+        log_root = opt.logging_root or "/tmp/rnr_tpu_logs/rnr_synth"
+    else:
+        import cv2
+        import scipy.io
+        from rnr_tpu.data import ViewDataset, LightProbeDataset, load_obj
+
+        opt.calib_fp = resolve(opt.calib_fp, opt.data_root)
+        opt.obj_high_fp = resolve(opt.obj_high_fp, opt.data_root)
+        opt.obj_low_fp = resolve(opt.obj_low_fp, opt.data_root)
+        opt.obj_gcn_fp = resolve(opt.obj_gcn_fp, opt.data_root)
+        opt.tex_fp = resolve(opt.tex_fp, opt.data_root)
+        opt.lp_dir = resolve(opt.lp_dir, opt.data_root)
+        high_name = os.path.basename(opt.obj_high_fp).split(".")[0]
+        low_name = os.path.basename(opt.obj_low_fp).split(".")[0]
+        precomp_high = os.path.join(opt.data_root, f"precomp_{high_name}")
+        precomp_low = os.path.join(opt.data_root, f"precomp_{low_name}")
+
+        img_dir = os.path.join(opt.data_root, f"rgb{lighting_idx}")
+        ds = ViewDataset(
+            root_dir=opt.data_root, calib_path=opt.calib_fp, img_dir=img_dir,
+            img_size=(opt.img_size, opt.img_size),
+            sampling_pattern=opt.sampling_pattern, load_precompute=True,
+            precomp_high_dir=precomp_high, precomp_low_dir=precomp_low,
+            img_gamma=opt.img_gamma,
+        )
+        print("buffering train views...")
+        ds.buffer_all()
+        train_views = ds.views_all
+        ds_val = ViewDataset(
+            root_dir=opt.data_root, calib_path=opt.calib_fp, img_dir=img_dir,
+            img_size=(opt.img_size, opt.img_size),
+            sampling_pattern=opt.sampling_pattern_val, load_precompute=True,
+            precomp_high_dir=precomp_high, precomp_low_dir=precomp_low,
+            img_gamma=opt.img_gamma,
+        )
+        print("buffering val views...")
+        ds_val.buffer_all()
+        val_views = ds_val.views_all
+
+        # relighting ground truth (train_rnr.py:198-209)
+        relight_views = None
+        img_relight_dir = os.path.join(
+            opt.data_root, f"rgb{opt.lighting_relight_idx}"
+        )
+        if has_relight and os.path.isdir(img_relight_dir):
+            ds_rel = ViewDataset(
+                root_dir=opt.data_root, calib_path=opt.calib_fp,
+                img_dir=img_relight_dir,
+                img_size=(opt.img_size, opt.img_size),
+                sampling_pattern=opt.sampling_pattern_val,
+                img_gamma=opt.img_gamma,
+            )
+            ds_rel.buffer_all()
+            relight_views = ds_rel.views_all
+
+        gcn_mesh = load_obj(opt.obj_gcn_fp)
+        gcn_pos = gcn_mesh.v
+
+        # light probes -> LightingLP -> SH init (train_rnr.py:264-275)
+        init_coeff = None
+        num_lighting = 1
+        lp_relight = None
+        if opt.lp_dir is not None and os.path.isdir(opt.lp_dir):
+            lp_ds = LightProbeDataset(opt.lp_dir, img_gamma=opt.img_gamma)
+            lp_ds.buffer_all()
+            lps = np.stack(
+                [
+                    cv2.resize(d["lp_img"], (3200, 1600),
+                               interpolation=cv2.INTER_AREA)
+                    for d in (lp_ds[i] for i in range(len(lp_ds)))
+                ]
+            )
+            lp_model = LightingLP(l_dir=l_dir, lps=lps)
+            lp_vars = lp_model.init(jax.random.PRNGKey(0))
+            init_coeff = np.asarray(
+                lp_model.apply(
+                    lp_vars, method=lambda m: m.fit_sh(opt.sh_lmax)
+                )
+            )
+            num_lighting = lps.shape[0]
+
+        # stitched probe -> lighting loss anchors (train_rnr.py:277-329)
+        lp_stitch_dir = os.path.join(
+            opt.data_root, f"light_probe_stitch_{opt.sampling_pattern}"
+        )
+        exr = os.path.join(lp_stitch_dir, f"{lighting_idx}.exr")
+        hdr = os.path.join(lp_stitch_dir, f"{lighting_idx}.hdr")
+        png = os.path.join(lp_stitch_dir, f"{lighting_idx}.png")
+        if os.path.isfile(exr) or os.path.isfile(hdr):
+            lp_stitch = cv2.imread(
+                exr if os.path.isfile(exr) else hdr,
+                cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH,
+            )
+        else:
+            lp_stitch = cv2.imread(png, cv2.IMREAD_UNCHANGED)[
+                :, :, :3
+            ].astype(np.float32) / 255.0
+        lp_stitch = np.nan_to_num(lp_stitch)
+        lp_stitch = cv2.cvtColor(lp_stitch, cv2.COLOR_BGR2RGB) ** opt.img_gamma
+        lp_mask = cv2.imread(
+            os.path.join(lp_stitch_dir, "mask", f"{lighting_idx}.png")
+        ).astype(np.float32) / 255.0
+        for c in range(3):
+            covered = lp_mask[:, :, c] == 1
+            if covered.any():
+                lp_stitch[~covered, c] = lp_stitch[covered, c].mean()
+
+        uv = np.asarray(spherical_mapping(jnp.asarray(l_dir)))
+        x = np.clip(uv[0] * lp_stitch.shape[1], None, lp_stitch.shape[1] - 1)
+        y = np.clip(uv[1] * lp_stitch.shape[0], None, lp_stitch.shape[0] - 1)
+        l_samples_init = np.asarray(
+            interpolate_bilinear(jnp.asarray(lp_stitch), jnp.asarray(x),
+                                 jnp.asarray(y))
+        )
+        l_samples_mask = (
+            np.asarray(
+                interpolate_bilinear(jnp.asarray(lp_mask), jnp.asarray(x),
+                                     jnp.asarray(y))
+            )[:, 0]
+            == 1
+        ).astype(np.float32)
+
+        # initialize lighting from the stitch (train_rnr.py:321-329)
+        num_lighting = max(
+            num_lighting,
+            lighting_idx + 1,
+            (opt.lighting_relight_idx + 1) if has_relight else 0,
+        )
+        if opt.init_lighting:
+            basis = np.asarray(evaluate_sh_basis(opt.sh_lmax, jnp.asarray(l_dir.T)))
+            stitch_coeff = np.asarray(
+                fit_sh_coeff(jnp.asarray(l_samples_init), jnp.asarray(basis))
+            )
+            if init_coeff is None:
+                # every lighting starts from the stitched estimate; rows
+                # other than lighting_idx only matter for relight previews
+                init_coeff = np.tile(
+                    stitch_coeff[None].astype(np.float32), (num_lighting, 1, 1)
+                )
+            elif init_coeff.shape[0] < num_lighting:
+                pad = np.tile(
+                    stitch_coeff[None].astype(np.float32),
+                    (num_lighting - init_coeff.shape[0], 1, 1),
+                )
+                init_coeff = np.concatenate([init_coeff, pad], axis=0)
+            init_coeff[lighting_idx] = stitch_coeff
+            num_lighting = init_coeff.shape[0]
+
+        texture_init = None
+        if opt.init_tex and os.path.isfile(opt.tex_fp):
+            tex = cv2.cvtColor(cv2.imread(opt.tex_fp), cv2.COLOR_BGR2RGB)
+            texture_init = cv2.resize(
+                tex, (opt.texture_size, opt.texture_size),
+                interpolation=cv2.INTER_AREA,
+            ).astype(np.float32) / 255.0
+
+        log_root = opt.logging_root or os.path.join(
+            opt.data_root, "logs", "rnr"
+        )
+
+    # ------------- model -------------
+    cfg = RNRConfig(
+        texture=TextureConfig(
+            texture_size=opt.texture_size, texture_num_ch=opt.texture_num_ch,
+            mipmap_level=opt.mipmap_level, init_tex=opt.init_tex,
+            fix_tex=opt.fix_tex, apply_sh=opt.apply_sh,
+        ),
+        lighting=LightingConfig(
+            sh_lmax=opt.sh_lmax, num_sample=num_sample,
+            num_lighting=max(num_lighting, 2 if has_relight else 1),
+            lighting_idx=opt.lighting_idx,
+            lighting_relight_idx=opt.lighting_relight_idx,
+            fix_lighting=opt.fix_lighting, init_lighting=opt.init_lighting,
+        ),
+        rays=RaysConfig(),
+        gcn=GCNTrainConfig(
+            kernel_size=opt.kernel_size, n_filters=opt.n_filters,
+            n_blocks=opt.n_blocks, epsilon=opt.epsilon,
+            stochastic=opt.stochastic, out_channels=opt.out_channels_gcn,
+        ),
+        render_net=RenderNetConfig(nf0=opt.nf0),
+        loss=LossConfig(
+            loss_lighting_weight=opt.loss_lighting_weight,
+            loss_lighting_uncovered_weight=opt.loss_lighting_uncovered_weight,
+            loss_rays_lt_chrom_weight=opt.loss_rays_lt_chrom_weight,
+            loss_alb_weight=opt.loss_alb_weight,
+        ),
+        train=TrainConfig(
+            lr=opt.lr, batch_size=opt.batch_size, max_epoch=opt.max_epoch,
+            max_iter=opt.max_iter, sampling_pattern=opt.sampling_pattern,
+            sampling_pattern_val=opt.sampling_pattern_val,
+            val_freq=opt.val_freq, log_freq=opt.log_freq,
+            ckp_freq=opt.ckp_freq, img_size=opt.img_size,
+            img_gamma=opt.img_gamma,
+        ),
+        use_gcn=opt.use_gcn,
+    )
+    model = RNRModel(
+        cfg=cfg, l_dir=l_dir,
+        init_lighting_coeff=init_coeff if not synthetic else None,
+        texture_init=texture_init if not synthetic else None,
+    )
+
+    dir_name = (
+        datetime.datetime.now().strftime("%m-%d_%H-%M-%S")
+        + "_" + opt.sampling_pattern
+        + (("_" + opt.exp_name) if opt.exp_name else "")
+    )
+    log_dir = os.path.join(log_root, dir_name)
+    cond_mkdir(log_dir)
+    for sub in ("val_out", "val_gt", "val_err", "val_relight_out"):
+        cond_mkdir(os.path.join(log_dir, sub))
+    save_config(cfg, os.path.join(log_dir, "params.json"))
+
+    key = jax.random.PRNGKey(opt.seed)
+    bs = opt.batch_size
+    sample_batch = make_rnr_batch(train_views[:bs], gcn_pos)
+    state, tx = create_rnr_state(model, key, sample_batch, cfg.train.lr)
+    if opt.checkpoint:
+        state = load_checkpoint(opt.checkpoint, state)
+        print("restored", opt.checkpoint)
+
+    statics = {
+        "l_samples_init": jnp.asarray(l_samples_init),
+        "l_samples_mask": jnp.asarray(l_samples_mask),
+        "tex_flatten_init": rnr_texture_flatten_init(model, state.params),
+    }
+    train_step = make_rnr_train_step(model, tx, lighting_idx)
+    eval_step = make_rnr_eval_step(model, lighting_idx)
+
+    if opt.mesh_devices:
+        from rnr_tpu.parallel import make_mesh, make_sharded_rnr_train_step
+        mesh = make_mesh(opt.mesh_devices, dp=opt.mesh_dp)
+        train_step = make_sharded_rnr_train_step(model, tx, mesh, lighting_idx)
+        print("training over mesh", mesh.devices.shape, mesh.axis_names)
+
+    n_params = {
+        part: sum(
+            int(np.prod(np.shape(x)))
+            for x in jax.tree.leaves(state.params.get(part, {}))
+        )
+        for part in ("texture_mapper", "render_net", "gcn", "lighting")
+    }
+    print("parameters:", json.dumps(n_params))
+
+    # relight probe (train_rnr.py:331-339)
+    lp_relight_arr = None
+    if has_relight:
+        variables = {
+            "params": state.params, "constants": state.constants,
+            "spectral": state.spectral,
+        }
+        lp_relight_arr = model.apply(
+            variables, opt.lighting_relight_idx, True,
+            method=lambda m, i, l: m.lighting(i, is_lp=l),
+        )
+
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(log_dir)
+    except Exception:
+        writer = None
+
+    order_rng = np.random.default_rng(opt.seed)
+    it = opt.start_epoch * len(train_views)
+    history = []
+    for epoch in range(opt.start_epoch, opt.max_epoch):
+        order = order_rng.permutation(len(train_views))
+        for start in range(0, len(order) - bs + 1, bs):
+            if opt.max_iter is not None and it >= opt.max_iter:
+                _final(log_dir, state, history)
+                return
+            t0 = time.time()
+            key, sub = jax.random.split(key)
+            batch = make_rnr_batch(
+                [train_views[j] for j in order[start:start + bs]], gcn_pos
+            )
+            state, metrics = train_step(state, batch, statics, sub)
+            loss = float(metrics["loss"])
+            history.append(loss)
+            if writer:
+                for k in ("loss", "loss_rn", "loss_lighting",
+                          "loss_rays_lt_chrom", "loss_alb"):
+                    writer.add_scalar(k, float(metrics[k]), it)
+                writer.add_scalar(
+                    "final_mae_valid", float(metrics["mae_valid"]), it
+                )
+                writer.add_scalar(
+                    "final_psnr_valid", float(metrics["psnr_valid"]), it
+                )
+            print(
+                f"Iter {it:07d} Epoch {epoch:03d} loss {loss:.4f} "
+                f"rn {float(metrics['loss_rn']):.4f} "
+                f"light {float(metrics['loss_lighting']):.4f} "
+                f"chrom {float(metrics['loss_rays_lt_chrom']):.4f} "
+                f"alb {float(metrics['loss_alb']):.4f} "
+                f"psnr {float(metrics['psnr_valid']):.4f} "
+                f"t {time.time() - t0:.3f}s"
+            )
+
+            if it and it % opt.val_freq == 0:
+                _validate(
+                    eval_step, state, val_views, relight_views, gcn_pos, bs,
+                    log_dir, it, writer, lp_relight_arr,
+                )
+            it += 1
+            if it % opt.ckp_freq == 0:
+                save_checkpoint(
+                    os.path.join(log_dir, f"model_iter-{it}.ckpt"), state
+                )
+    _final(log_dir, state, history)
+
+
+def _validate(eval_step, state, val_views, relight_views, gcn_pos, bs,
+              log_dir, it, writer, lp_relight):
+    from rnr_tpu.ops.metrics import masked_err_metrics
+
+    vals, vals_rel = [], []
+    for start in range(0, len(val_views) - bs + 1, bs):
+        views = val_views[start:start + bs]
+        batch = make_rnr_batch(views, gcn_pos)
+        out = eval_step(state, batch)
+        img = np.asarray(out["img"])
+        alpha = np.asarray(batch["alpha_map"])
+        m = masked_err_metrics(
+            img * alpha * 255.0,
+            np.asarray(batch["img_gt"]) * alpha * 255.0, alpha
+        )
+        vals.append((float(m["mae_valid"]), float(m["psnr_valid"])))
+        for i in range(bs):
+            save_png(
+                os.path.join(log_dir, "val_out", f"{it:08d}_{start + i:05d}.png"),
+                img[i],
+            )
+        if lp_relight is not None:
+            out_r = eval_step(state, batch, lp_override=lp_relight,
+                              relight=True)
+            img_r = np.asarray(out_r["img"])
+            for i in range(bs):
+                save_png(
+                    os.path.join(log_dir, "val_relight_out",
+                                 f"{it:08d}_{start + i:05d}.png"),
+                    img_r[i],
+                )
+            if relight_views is not None:
+                gt_r = np.stack(
+                    [np.asarray(v["img_gt"]) for v in
+                     relight_views[start:start + bs]]
+                )
+                mr = masked_err_metrics(
+                    img_r * alpha * 255.0, gt_r * alpha * 255.0, alpha
+                )
+                vals_rel.append(
+                    (float(mr["mae_valid"]), float(mr["psnr_valid"]))
+                )
+    if vals:
+        mae = float(np.mean([v[0] for v in vals]))
+        psnr = float(np.mean([v[1] for v in vals]))
+        print(f"Val @ {it}: mae {mae:.4f} psnr {psnr:.4f}")
+        if writer:
+            writer.add_scalar("final_mae_valid_val", mae, it)
+            writer.add_scalar("final_psnr_valid_val", psnr, it)
+    if vals_rel:
+        mae = float(np.mean([v[0] for v in vals_rel]))
+        psnr = float(np.mean([v[1] for v in vals_rel]))
+        print(f"Val relight @ {it}: mae {mae:.4f} psnr {psnr:.4f}")
+        if writer:
+            writer.add_scalar("final_relight_mae_valid_val", mae, it)
+            writer.add_scalar("final_relight_psnr_valid_val", psnr, it)
+
+
+def _final(log_dir, state, history):
+    from rnr_tpu.train import save_checkpoint
+
+    save_checkpoint(os.path.join(log_dir, "model_final.ckpt"), state)
+    summary = {
+        "first_loss": history[0] if history else None,
+        "last_loss": history[-1] if history else None,
+        "iters": len(history),
+    }
+    with open(os.path.join(log_dir, "summary.json"), "w") as f:
+        json.dump(summary, f)
+    print("final:", json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,204 @@
+"""Flagship model: the full relightable neural renderer (RNR).
+
+Composes the GCN light-transport prior, the mipmap neural texture, the
+specular/diffuse ray fans, the deferred U-Net and the SH lighting model
+into ONE flax module so the entire training step is a single jit-compiled
+program with a single parameter tree — replacing the reference's two-GPU
+module scatter with cross-device copies (train_rnr.py:144-150,490).
+
+Forward data flow (reference train_rnr.py:483-539):
+  v_feature = gcn(mesh_pos)                      # global [1, 512]
+  neural_img = texture(uv_map, sh_basis_map)     # [N, H, W, 24]
+  rays        = specular fan + diffuse fan       # [N, H, W, 3, 26]
+  rays_lt     = unet([rays || normal || view || neural_img], v_feature)
+  image       = ray_render(albedo, rays_uv, rays_lt, probe)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from rnr_tpu.config import RNRConfig
+from rnr_tpu.models.texture import TextureMapper
+from rnr_tpu.models.unet import RenderingNet
+from rnr_tpu.models.gcn import DenseDeepGCN, GCNConfig
+from rnr_tpu.models.lighting import LightingSH
+from rnr_tpu.models.rays import RaySampler, ray_render
+
+
+class RNRModel(nn.Module):
+    """End-to-end RNR forward model.
+
+    Attributes:
+      cfg: RNRConfig.
+      l_dir: [3, num_sample] sphere sample directions (host array).
+      init_lighting_coeff: optional [L, B, C] initial SH coefficients.
+      texture_init: optional [H, W, 3] texture initialization.
+    """
+
+    cfg: RNRConfig
+    l_dir: np.ndarray
+    init_lighting_coeff: np.ndarray | None = None
+    texture_init: np.ndarray | None = None
+
+    def setup(self):
+        c = self.cfg
+        self.texture_mapper = TextureMapper(
+            texture_size=c.texture.texture_size,
+            texture_num_ch=c.texture.texture_num_ch,
+            mipmap_level=c.texture.mipmap_level,
+            apply_sh=c.texture.apply_sh,
+            texture_init=self.texture_init,
+            fix_texture=c.texture.fix_tex,
+        )
+        self.render_net = RenderingNet(
+            nf0=c.render_net.nf0,
+            in_channels=c.render_net_in_channels,
+            out_channels=c.render_net_out_channels,
+            num_down_unet=c.render_net.num_down_unet,
+            out_channels_gcn=c.gcn.out_channels,
+            use_gcn=c.use_gcn,
+            norm=c.render_net.norm,  # type: ignore[arg-type]
+        )
+        if c.use_gcn:
+            self.gcn = DenseDeepGCN(
+                GCNConfig(
+                    in_channels=c.gcn.in_channels,
+                    n_filters=c.gcn.n_filters,
+                    kernel_size=c.gcn.kernel_size,
+                    n_blocks=c.gcn.n_blocks,
+                    conv_type=c.gcn.conv_type,  # type: ignore[arg-type]
+                    block_type=c.gcn.block_type,  # type: ignore[arg-type]
+                    stochastic=c.gcn.stochastic,
+                    epsilon=c.gcn.epsilon,
+                    out_channels=c.gcn.out_channels,
+                )
+            )
+        self.lighting = LightingSH(
+            l_dir=self.l_dir,
+            lmax=c.lighting.sh_lmax,
+            num_lighting=c.lighting.num_lighting,
+            num_channel=3,
+            init_coeff=self.init_lighting_coeff,
+            fix_params=c.lighting.fix_lighting,
+            lp_recon_h=c.lighting.lp_recon_h,
+            lp_recon_w=c.lighting.lp_recon_w,
+        )
+        self.ray_sampler = RaySampler(
+            num_azi=c.rays.num_azi,
+            num_polar=c.rays.num_polar,
+            interval_polar=c.rays.interval_polar_specular,
+            mode="reflect",
+        )
+        self.ray_sampler_diffuse = RaySampler(
+            num_azi=c.rays.num_azi,
+            num_polar=c.rays.num_polar,
+            interval_polar=c.rays.interval_polar_diffuse,
+            mode="diffuse",
+        )
+
+    def __call__(
+        self,
+        batch: dict[str, jax.Array],
+        lighting_idx: int = 0,
+        lp_override: jax.Array | None = None,
+        train: bool = True,
+    ) -> dict[str, Any]:
+        """Full forward pass.
+
+        Args:
+          batch: dict with G-buffer maps (all NHWC):
+            uv_map [N,H,W,2], sh_basis_map [N,H,W,9], normal_map [N,H,W,3],
+            view_dir_map [N,H,W,3], view_dir_map_tangent [N,H,W,3],
+            TBN_map [N,H,W,3,3], alpha_map [N,H,W,1],
+            gcn_pos [V,3] (mesh vertices for the GCN).
+          lighting_idx: which learned lighting to render under.
+          lp_override: optional [1 or N, Hl, Wl, C] probe for relighting.
+
+        Returns dict with the rendered image and intermediates.
+        """
+        c = self.cfg
+        n, h, w = batch["alpha_map"].shape[:3]
+
+        v_feature = None
+        if c.use_gcn:
+            v_feature = self.gcn(batch["gcn_pos"], train=train)  # [1, 512]
+            v_feature = jnp.broadcast_to(
+                v_feature, (n, v_feature.shape[-1])
+            )
+
+        neural_img = self.texture_mapper(
+            batch["uv_map"], batch["sh_basis_map"], sh_start_ch=6
+        )
+        albedo_diffuse = neural_img[..., 0:3]
+        albedo_specular = neural_img[..., 3:6]
+
+        rays_dir_s, rays_uv_s, _ = self.ray_sampler(
+            batch["TBN_map"], batch["view_dir_map_tangent"], batch["alpha_map"]
+        )
+        rays_dir_d, rays_uv_d, _ = self.ray_sampler_diffuse(
+            batch["TBN_map"], batch["view_dir_map_tangent"], batch["alpha_map"]
+        )
+        rays_dir = jnp.concatenate([rays_dir_s, rays_dir_d], axis=-1)
+        rays_uv = jnp.concatenate([rays_uv_s, rays_uv_d], axis=-1)
+        r_total = rays_uv.shape[-1]
+
+        net_in = jnp.concatenate(
+            [
+                # [N,H,W,3,R] -> [N,H,W,R*3] with per-ray xyz grouping,
+                # mirroring the reference's channel order
+                # (train_rnr.py:530: rays as num_ray*3 leading channels).
+                jnp.swapaxes(rays_dir, -1, -2).reshape(n, h, w, r_total * 3),
+                batch["normal_map"],
+                batch["view_dir_map"],
+                neural_img,
+            ],
+            axis=-1,
+        )
+        lt = self.render_net(net_in, v_feature, train=train)
+        rays_lt = lt.reshape(n, h, w, r_total, 3)
+        rays_lt = (rays_lt * 0.5 + 0.5) * c.rays.lt_max_val
+
+        if lp_override is None:
+            lp = self.lighting(lighting_idx, is_lp=True)
+        else:
+            lp = lp_override
+        rendered = ray_render(
+            albedo_specular,
+            rays_uv,
+            rays_lt,
+            lp,
+            num_ray_diffuse=self.ray_sampler_diffuse.num_ray,
+            albedo_diffuse=albedo_diffuse,
+            separate_albedo=True,
+        )
+
+        return {
+            "img": rendered["out"],
+            "l_samples_est": self.lighting(lighting_idx)[0],
+            "rays_lt": rays_lt,
+            "rays_uv": rays_uv,
+            "rays_dir": rays_dir,
+            "neural_img": neural_img,
+            "albedo_specular": albedo_specular,
+            "albedo_diffuse": albedo_diffuse,
+            "v_feature": v_feature,
+            "lp": rendered["lp"],
+            "ltt_specular_map": rendered["ltt_specular_map"],
+            "ltt_diffuse_map": rendered["ltt_diffuse_map"],
+        }
+
+    # Exposed for losses/diagnostics -------------------------------------
+
+    def lighting_samples(self, lighting_idx) -> jax.Array:
+        """Reconstructed light samples at the sphere directions [S, C]."""
+        return self.lighting(lighting_idx)[0]
+
+    def reconstruct_lp(self, lighting_idx) -> jax.Array:
+        return self.lighting(lighting_idx, is_lp=True)[0]

@@ -1,0 +1,9 @@
+"""Scaling layer: device meshes, shardings, distributed train steps."""
+
+from rnr_tpu.parallel.sharding import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_rnr_batch,
+    make_sharded_rnr_train_step,
+)

@@ -1,0 +1,106 @@
+"""Device meshes and SPMD shardings for multi-chip training/inference.
+
+The reference's entire parallelism story is single-process DataParallel
+plus a hand-placed two-GPU split with `.to(device)` copies
+(train_dnr.py:174-177, train_rnr.py:144-150,490 — see SURVEY §2.7).  The
+TPU-native replacement is one `jax.sharding.Mesh` with two logical axes:
+
+  * ``dp`` — data parallel over views (the batch dimension),
+  * ``sp`` — spatial parallel over image rows (the "sequence" axis of this
+    model family: pixels).  XLA's SPMD partitioner inserts halo exchanges
+    for the U-Net convolutions and turns the batch-stat norm reductions
+    and loss/gradient reductions into ICI collectives automatically.
+
+Parameters, mesh geometry and lighting are replicated; gradients
+all-reduce over both axes as part of the jit-compiled step (overlapped
+with backward by XLA's scheduler).  Multi-host extends the same mesh over
+DCN via `jax.distributed.initialize` — no code change in the step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rnr_tpu.train.steps import TrainState
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    dp: int | None = None,
+    axis_names: tuple[str, str] = ("dp", "sp"),
+) -> Mesh:
+    """Build a (dp, sp) mesh over the first n_devices devices.
+
+    dp defaults to 1 (batch-1 workloads scale over image rows).
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    dp = dp or 1
+    sp = n // dp
+    if dp * sp != n:
+        raise ValueError(f"cannot factor {n} devices into dp={dp} x sp={sp}")
+    arr = np.asarray(devices).reshape(dp, sp)
+    return Mesh(arr, axis_names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int, spatial_axis: int | None = 1
+                   ) -> NamedSharding:
+    """Shard dim 0 over dp and (optionally) a spatial dim over sp."""
+    spec: list[Any] = [None] * ndim
+    spec[0] = "dp"
+    if spatial_axis is not None and ndim > spatial_axis:
+        spec[spatial_axis] = "sp"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_rnr_batch(batch: dict[str, jax.Array], mesh: Mesh) -> dict:
+    """Place a G-buffer batch on the mesh: [N, H, ...] -> (dp, sp) sharded;
+    mesh-level arrays (gcn_pos) replicated."""
+    out = {}
+    for k, v in batch.items():
+        if k == "gcn_pos" or v.ndim < 3:
+            out[k] = jax.device_put(v, replicated(mesh))
+        else:
+            out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim))
+    return out
+
+
+def make_sharded_rnr_train_step(
+    model,
+    tx,
+    mesh: Mesh,
+    lighting_idx: int = 0,
+) -> Callable:
+    """RNR train step jit-compiled over the mesh.
+
+    Params/opt-state replicated, batch sharded (dp, sp).  The returned
+    callable has the same signature as the single-chip step
+    (state, batch, statics, rng) -> (state, metrics).
+    """
+    from rnr_tpu.train.steps import make_rnr_train_step
+
+    base_step = make_rnr_train_step(model, tx, lighting_idx)
+
+    rep = replicated(mesh)
+
+    def sharded_step(state: TrainState, batch, statics, rng):
+        # jit propagates shardings from the inputs: replicated state +
+        # (dp, sp)-sharded batch compile into one SPMD program whose
+        # gradient reductions are ICI all-reduces.
+        state = jax.device_put(state, rep)
+        statics = jax.device_put(statics, rep)
+        batch = shard_rnr_batch(batch, mesh)
+        return base_step(state, batch, statics, rng)
+
+    return sharded_step

@@ -1,0 +1,333 @@
+"""Jit-compiled train/eval steps for the RNR and DNR pipelines.
+
+One Adam optimizer over every learnable part (reference train_rnr.py:376),
+one XLA program per step.  States are plain pytrees so they shard
+transparently under pjit (see rnr_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rnr_tpu.config import RNRConfig, DNRConfig
+from rnr_tpu.models.rnr import RNRModel
+from rnr_tpu.models.texture import TextureMapper
+from rnr_tpu.models.unet import RenderingNet
+from rnr_tpu.models.rays import rays_lt_chrom_loss
+from rnr_tpu.train.losses import image_l1_loss, lighting_loss, albedo_prior_loss
+from rnr_tpu.ops.metrics import masked_err_metrics
+
+
+class TrainState(NamedTuple):
+    """Pure-pytree train state (pjit-shardable)."""
+
+    step: jax.Array
+    params: Any
+    constants: Any
+    spectral: Any
+    opt_state: Any
+
+
+def _flatten_albedo(tm: TextureMapper, params, start_ch: int, end_ch: int):
+    return tm.flatten_mipmap(params, start_ch, end_ch)
+
+
+# ---------------------------------------------------------------------------
+# RNR
+# ---------------------------------------------------------------------------
+
+def create_rnr_state(
+    model: RNRModel,
+    rng: jax.Array,
+    sample_batch: dict[str, jax.Array],
+    lr: float,
+) -> tuple[TrainState, optax.GradientTransformation]:
+    """Initialize model variables and optimizer."""
+    p_rng, d_rng, g_rng = jax.random.split(rng, 3)
+    variables = model.init(
+        {"params": p_rng, "dropout": d_rng, "gcn": g_rng},
+        sample_batch,
+        lighting_idx=0,
+        train=True,
+    )
+    tx = optax.adam(lr)
+    params = variables["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        constants=variables.get("constants", {}),
+        spectral=variables.get("spectral", {}),
+        opt_state=tx.init(params),
+    )
+    return state, tx
+
+
+def rnr_texture_flatten_init(model: RNRModel, params) -> jax.Array:
+    """relu(flattened initial albedo mipmap), the albedo-prior anchor
+    (reference: network.py:58-60)."""
+    tm = TextureMapper(
+        texture_size=model.cfg.texture.texture_size,
+        texture_num_ch=model.cfg.texture.texture_num_ch,
+        mipmap_level=model.cfg.texture.mipmap_level,
+    )
+    flat = tm.flatten_mipmap(params["texture_mapper"], 0, 6)
+    return jax.nn.relu(flat)
+
+
+def make_rnr_train_step(
+    model: RNRModel,
+    tx: optax.GradientTransformation,
+    lighting_idx: int = 0,
+) -> Callable:
+    """Build the jitted RNR train step.
+
+    step(state, batch, statics, rng) -> (state, metrics)
+
+    `statics` carries the loss anchors:
+      l_samples_init [S, C], l_samples_mask [S], tex_flatten_init [H, W, 6].
+    """
+    cfg = model.cfg
+    tm = TextureMapper(
+        texture_size=cfg.texture.texture_size,
+        texture_num_ch=cfg.texture.texture_num_ch,
+        mipmap_level=cfg.texture.mipmap_level,
+    )
+
+    def loss_fn(params, state: TrainState, batch, statics, rng):
+        d_rng, g_rng = jax.random.split(rng)
+        variables = {
+            "params": params,
+            "constants": state.constants,
+            "spectral": state.spectral,
+        }
+        out, mutated = model.apply(
+            variables,
+            batch,
+            lighting_idx=lighting_idx,
+            train=True,
+            mutable=["spectral"],
+            rngs={"dropout": d_rng, "gcn": g_rng},
+        )
+
+        alpha = batch["alpha_map"]
+        img_gt = batch["img_gt"]
+
+        loss_rn = image_l1_loss(
+            out["img"], img_gt, alpha, cfg.loss.border_crop
+        )
+        if cfg.lighting.fix_lighting:
+            loss_light = jnp.zeros(())
+        else:
+            loss_light = lighting_loss(
+                out["l_samples_est"],
+                statics["l_samples_init"],
+                statics["l_samples_mask"],
+                cfg.loss.loss_lighting_weight,
+                cfg.loss.loss_lighting_uncovered_weight,
+            )
+        loss_chrom, *_ = rays_lt_chrom_loss(out["rays_lt"], alpha, img_gt)
+        loss_chrom = loss_chrom * cfg.loss.loss_rays_lt_chrom_weight
+
+        albedo_flat = _flatten_albedo(tm, params["texture_mapper"], 0, 6)
+        loss_alb_diff = albedo_prior_loss(
+            albedo_flat[..., 0:3], statics["tex_flatten_init"][..., 0:3]
+        )
+        loss_alb_spec = albedo_prior_loss(
+            albedo_flat[..., 3:6], statics["tex_flatten_init"][..., 3:6]
+        )
+        loss_alb = (loss_alb_diff + loss_alb_spec) * cfg.loss.loss_alb_weight
+
+        loss = loss_rn + loss_light + loss_chrom + loss_alb
+        aux = {
+            "loss": loss,
+            "loss_rn": loss_rn,
+            "loss_lighting": loss_light,
+            "loss_rays_lt_chrom": loss_chrom,
+            "loss_alb": loss_alb,
+            "img": out["img"],
+            "spectral": mutated.get("spectral", state.spectral),
+        }
+        return loss, aux
+
+    @jax.jit
+    def step(state: TrainState, batch, statics, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, batch, statics, rng
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            constants=state.constants,
+            spectral=aux["spectral"],
+            opt_state=new_opt,
+        )
+        b = model.cfg.loss.border_crop
+        alpha_c = batch["alpha_map"][:, b:-b, b:-b]
+        metrics = masked_err_metrics(
+            aux["img"][:, b:-b, b:-b] * alpha_c * 255.0,
+            batch["img_gt"][:, b:-b, b:-b] * alpha_c * 255.0,
+            alpha_c,
+        )
+        metrics.update(
+            loss=aux["loss"],
+            loss_rn=aux["loss_rn"],
+            loss_lighting=aux["loss_lighting"],
+            loss_rays_lt_chrom=aux["loss_rays_lt_chrom"],
+            loss_alb=aux["loss_alb"],
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_rnr_eval_step(model: RNRModel, lighting_idx: int = 0) -> Callable:
+    """Jitted inference step; optional lp_override enables relighting."""
+
+    @partial(jax.jit, static_argnames=("relight",))
+    def step(state: TrainState, batch, lp_override=None, relight: bool = False):
+        variables = {
+            "params": state.params,
+            "constants": state.constants,
+            "spectral": state.spectral,
+        }
+        out, _ = model.apply(
+            variables,
+            batch,
+            lighting_idx=lighting_idx,
+            lp_override=lp_override if relight else None,
+            train=False,
+            mutable=["spectral"],
+        )
+        return out
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# DNR (the minimum end-to-end slice: texture + U-Net + L1)
+# ---------------------------------------------------------------------------
+
+class DNRModules(NamedTuple):
+    texture_mapper: TextureMapper
+    render_net: RenderingNet
+
+
+def build_dnr_modules(cfg: DNRConfig) -> DNRModules:
+    return DNRModules(
+        texture_mapper=TextureMapper(
+            texture_size=cfg.texture.texture_size,
+            texture_num_ch=cfg.texture.texture_num_ch,
+            mipmap_level=cfg.texture.mipmap_level,
+            apply_sh=cfg.texture.apply_sh,
+        ),
+        render_net=RenderingNet(
+            nf0=cfg.render_net.nf0,
+            in_channels=cfg.texture.texture_num_ch,
+            out_channels=3,
+            num_down_unet=cfg.render_net.num_down_unet,
+            use_gcn=False,
+            norm=cfg.render_net.norm,  # type: ignore[arg-type]
+        ),
+    )
+
+
+def dnr_forward(mods: DNRModules, params, batch, rngs=None, train=True,
+                sh_start_ch=3, img_max_val=2.0):
+    neural_img = mods.texture_mapper.apply(
+        {"params": params["texture_mapper"]},
+        batch["uv_map"],
+        batch.get("sh_basis_map"),
+        sh_start_ch=sh_start_ch,
+    )
+    out = mods.render_net.apply(
+        {"params": params["render_net"]},
+        neural_img,
+        None,
+        train=train,
+        rngs=rngs,
+    )
+    # map tanh output to [0, img_max_val] (train_dnr.py:252-254)
+    return (out * 0.5 + 0.5) * img_max_val, neural_img
+
+
+def create_dnr_state(
+    cfg: DNRConfig, rng: jax.Array, sample_batch, lr: float
+):
+    mods = build_dnr_modules(cfg)
+    p1, p2, d = jax.random.split(rng, 3)
+    tex_vars = mods.texture_mapper.init(
+        p1, sample_batch["uv_map"], sample_batch.get("sh_basis_map"),
+        sh_start_ch=cfg.sh_start_ch,
+    )
+    neural = mods.texture_mapper.apply(
+        tex_vars, sample_batch["uv_map"], sample_batch.get("sh_basis_map"),
+        sh_start_ch=cfg.sh_start_ch,
+    )
+    net_vars = mods.render_net.init(
+        {"params": p2, "dropout": d}, neural, None
+    )
+    params = {
+        "texture_mapper": tex_vars["params"],
+        "render_net": net_vars["params"],
+    }
+    tx = optax.adam(lr)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        constants={},
+        spectral={},
+        opt_state=tx.init(params),
+    )
+    return mods, state, tx
+
+
+def make_dnr_train_step(cfg: DNRConfig, mods: DNRModules,
+                        tx: optax.GradientTransformation) -> Callable:
+    def loss_fn(params, batch, rng):
+        out, _ = dnr_forward(
+            mods, params, batch, rngs={"dropout": rng}, train=True,
+            sh_start_ch=cfg.sh_start_ch,
+        )
+        loss = image_l1_loss(
+            out, batch["img_gt"], batch["alpha_map"], cfg.loss.border_crop
+        )
+        return loss, out
+
+    @jax.jit
+    def step(state: TrainState, batch, rng):
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state._replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt
+        )
+        b = cfg.loss.border_crop
+        alpha_c = batch["alpha_map"][:, b:-b, b:-b]
+        metrics = masked_err_metrics(
+            out[:, b:-b, b:-b] * alpha_c * 255.0,
+            batch["img_gt"][:, b:-b, b:-b] * alpha_c * 255.0,
+            alpha_c,
+        )
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    return step
+
+
+def make_dnr_eval_step(cfg: DNRConfig, mods: DNRModules) -> Callable:
+    @jax.jit
+    def step(state: TrainState, batch):
+        out, neural = dnr_forward(
+            mods, state.params, batch, train=False, sh_start_ch=cfg.sh_start_ch
+        )
+        return out
+    return step

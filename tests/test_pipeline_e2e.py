@@ -1,0 +1,248 @@
+"""Full-pipeline integration test on a synthetic scene.
+
+Builds a tiny UV-sphere scene on disk (OBJ + calib.mat + images), then runs
+the real drivers end to end:
+
+  precompute -> stitch_lp -> train_rnr (few iters) -> test_rnr render
+  and the DNR vertical: train_dnr -> test_dnr.
+
+This mirrors the reference's preproc.sh / train_rnr.sh / test_rnr.sh flow
+(README.md:59-98) without any external data.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import scipy.io
+
+cv2 = pytest.importorskip("cv2")
+
+from rnr_tpu.ops.cameras import rt_from_pos_lookat
+
+
+def make_uv_sphere(path, n_lat=8, n_lon=12, radius=0.5):
+    """Write a UV-sphere OBJ with positions, normals and texcoords."""
+    vs, vts, vns, faces = [], [], [], []
+    for i in range(n_lat + 1):
+        theta = np.pi * i / n_lat
+        for j in range(n_lon + 1):
+            phi = 2 * np.pi * j / n_lon
+            x = radius * np.sin(theta) * np.cos(phi)
+            y = radius * np.cos(theta)
+            z = radius * np.sin(theta) * np.sin(phi)
+            vs.append((x, y, z))
+            vns.append((x / radius, y / radius, z / radius))
+            vts.append((j / n_lon, 1 - i / n_lat))
+    def vid(i, j):
+        return i * (n_lon + 1) + j
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a, b, c, d = vid(i, j), vid(i, j + 1), vid(i + 1, j + 1), vid(i + 1, j)
+            if i > 0:
+                faces.append((a, b, c))
+            if i < n_lat - 1:
+                faces.append((a, c, d))
+    with open(path, "w") as f:
+        for v in vs:
+            f.write("v %f %f %f\n" % v)
+        for vt in vts:
+            f.write("vt %f %f\n" % vt)
+        for vn in vns:
+            f.write("vn %f %f %f\n" % vn)
+        for tri in faces:
+            f.write(
+                "f "
+                + " ".join(f"{i+1}/{i+1}/{i+1}" for i in tri)
+                + "\n"
+            )
+
+
+def make_scene(root, num_view=6, hw=64):
+    os.makedirs(os.path.join(root, "rgb0"), exist_ok=True)
+    os.makedirs(os.path.join(root, "rgb1"), exist_ok=True)
+    make_uv_sphere(os.path.join(root, "mesh.obj"))
+    poses = np.zeros((num_view, 4, 4))
+    projs = np.zeros((num_view, 3, 3))
+    rng = np.random.default_rng(0)
+    for i in range(num_view):
+        ang = 2 * np.pi * i / num_view
+        pos = np.array(
+            [2.0 * np.cos(ang), 0.4, 2.0 * np.sin(ang)]
+        )
+        poses[i] = rt_from_pos_lookat(pos)
+        projs[i] = np.array(
+            [[hw * 1.2, 0, hw / 2], [0, hw * 1.2, hw / 2], [0, 0, 1]]
+        )
+        for lighting in (0, 1):
+            img = np.zeros((hw, hw, 3), np.uint8)
+            # simple shaded disc so training has structure to fit
+            yy, xx = np.mgrid[0:hw, 0:hw]
+            r = np.hypot(yy - hw / 2, xx - hw / 2)
+            disc = (r < hw * 0.3).astype(np.float32)
+            shade = 0.4 + 0.6 * (xx / hw) if lighting == 0 else 1.0 - 0.5 * (yy / hw)
+            img[..., 0] = np.uint8(200 * disc * shade)
+            img[..., 1] = np.uint8(150 * disc * shade)
+            img[..., 2] = np.uint8(100 * disc)
+            cv2.imwrite(
+                os.path.join(root, f"rgb{lighting}", "%06d.png" % i), img
+            )
+    scipy.io.savemat(
+        os.path.join(root, "calib.mat"),
+        {
+            "poses": poses,
+            "projs": projs,
+            "dist_coeffs": np.zeros((num_view, 5)),
+            "img_hws": np.tile([hw, hw], (num_view, 1)),
+            "global_RT": np.eye(4),
+        },
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    return make_scene(root)
+
+
+@pytest.fixture(scope="module")
+def precomputed(scene):
+    from rnr_tpu.drivers import precompute
+
+    precompute.main(
+        ["--data_root", scene, "--img_size", "64", "--sampling_pattern", "all"]
+    )
+    return scene
+
+
+def test_precompute_outputs(precomputed):
+    res = os.path.join(precomputed, "precomp_mesh", "resol_64")
+    for sub in ("raster", "uv_map", "alpha_map", "TBN_map", "sh_basis_map",
+                "view_dir_map_tangent", "normal_map", "reflect_dir_map"):
+        files = os.listdir(os.path.join(res, sub))
+        assert len([f for f in files if not f.startswith(".")]) >= 6, sub
+    alpha = cv2.imread(os.path.join(res, "alpha_map", "000000.png"))
+    assert alpha.max() == 255 and alpha.min() == 0  # sphere covers part
+    uv = scipy.io.loadmat(os.path.join(res, "uv_map", "000000.mat"))["uv_map"]
+    assert uv.shape == (64, 64, 2)
+    assert 0 <= uv.min() and uv.max() <= 1.0
+
+
+def test_stitch_lp(precomputed):
+    from rnr_tpu.drivers import stitch_lp
+
+    stitch_lp.main(
+        [
+            "--data_root", precomputed, "--sampling_pattern", "all",
+            "--img_suffix", ".png", "--lp_h", "64", "--lp_w", "128",
+        ]
+    )
+    d = os.path.join(precomputed, "light_probe_stitch_all")
+    assert os.path.isfile(os.path.join(d, "0.png"))
+    assert os.path.isfile(os.path.join(d, "mask", "0.png"))
+    count = scipy.io.loadmat(os.path.join(d, "count", "0.mat"))
+    assert count["num_view"] == 6
+
+
+@pytest.fixture(scope="module")
+def trained_rnr(precomputed):
+    from rnr_tpu.drivers import train_rnr
+
+    log_root = os.path.join(precomputed, "logs_rnr")
+    train_rnr.main(
+        [
+            "--data_root", precomputed,
+            "--logging_root", log_root,
+            "--obj_high_fp", "_/mesh.obj", "--obj_low_fp", "_/mesh.obj",
+            "--obj_gcn_fp", "_/mesh.obj",
+            "--img_size", "64", "--texture_size", "64",
+            "--mipmap_level", "2", "--nf0", "8",
+            "--n_blocks", "2", "--n_filters", "8", "--kernel_size", "4",
+            "--out_channels_gcn", "16", "--sh_lmax", "2",
+            "--sphere_samples_fp", "nonexistent.mat",
+            "--lighting_idx", "0", "--lighting_relight_idx", "1",
+            "--max_iter", "4", "--val_freq", "3", "--ckp_freq", "100",
+            "--sampling_pattern", "all", "--sampling_pattern_val", "only_0",
+        ]
+    )
+    runs = sorted(os.listdir(log_root))
+    assert runs
+    return os.path.join(log_root, runs[-1])
+
+
+def test_train_rnr_artifacts(trained_rnr):
+    assert os.path.isfile(os.path.join(trained_rnr, "params.json"))
+    assert os.path.isfile(os.path.join(trained_rnr, "model_final.ckpt"))
+    with open(os.path.join(trained_rnr, "summary.json")) as f:
+        summary = json.load(f)
+    assert summary["iters"] == 4
+    assert np.isfinite(summary["last_loss"])
+    # validation wrote view-synthesis and relighting images
+    assert os.listdir(os.path.join(trained_rnr, "val_out"))
+    assert os.listdir(os.path.join(trained_rnr, "val_relight_out"))
+
+
+def test_test_rnr_inference(precomputed, trained_rnr):
+    from rnr_tpu.drivers import test_rnr
+
+    out_dir = os.path.join(trained_rnr, "render_out")
+    test_rnr.main(
+        [
+            "--data_root", precomputed,
+            "--checkpoint_dir", trained_rnr,
+            "--obj_high_fp", "_/mesh.obj", "--obj_gcn_fp", "_/mesh.obj",
+            "--img_size", "64",
+            "--sampling_pattern", "only_2",
+            "--lighting_idx", "0",
+            "--sphere_samples_fp", "nonexistent.mat",
+            "--out_dir", out_dir,
+        ]
+    )
+    imgs = []
+    for sub in os.listdir(out_dir):
+        imgs += os.listdir(os.path.join(out_dir, sub))
+    assert imgs, "no rendered frames"
+    img = cv2.imread(os.path.join(out_dir, "learned0", "000002.png"))
+    assert img is not None and img.shape == (64, 64, 3)
+    assert img.max() > 0  # something rendered
+
+
+@pytest.fixture(scope="module")
+def trained_dnr(precomputed):
+    from rnr_tpu.drivers import train_dnr
+
+    log_root = os.path.join(precomputed, "logs_dnr")
+    train_dnr.main(
+        [
+            "--data_root", precomputed,
+            "--logging_root", log_root,
+            "--obj_fp", "_/mesh.obj",
+            "--img_size", "64", "--texture_size", "64",
+            "--mipmap_level", "2", "--nf0", "8", "--texture_num_ch", "16",
+            "--max_iter", "4", "--val_freq", "3", "--ckp_freq", "100",
+            "--sampling_pattern", "all", "--sampling_pattern_val", "only_0",
+        ]
+    )
+    runs = sorted(os.listdir(log_root))
+    return os.path.join(log_root, runs[-1])
+
+
+def test_dnr_pipeline(precomputed, trained_dnr):
+    from rnr_tpu.drivers import test_dnr
+
+    assert os.path.isfile(os.path.join(trained_dnr, "model_final.ckpt"))
+    out_dir = os.path.join(trained_dnr, "render_out")
+    test_dnr.main(
+        [
+            "--data_root", precomputed,
+            "--checkpoint_dir", trained_dnr,
+            "--obj_fp", "_/mesh.obj",
+            "--img_size", "64",
+            "--sampling_pattern", "only_1",
+            "--out_dir", out_dir,
+        ]
+    )
+    img = cv2.imread(os.path.join(out_dir, "000001.png"))
+    assert img is not None and img.shape == (64, 64, 3)

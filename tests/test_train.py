@@ -1,0 +1,163 @@
+"""End-to-end training tests on synthetic data: loss must decrease."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rnr_tpu.config import (
+    RNRConfig, DNRConfig, TextureConfig, LightingConfig, RaysConfig,
+    GCNTrainConfig, RenderNetConfig, LossConfig, TrainConfig,
+)
+from rnr_tpu.models.rnr import RNRModel
+from rnr_tpu.train import (
+    create_rnr_state, make_rnr_train_step, make_rnr_eval_step,
+    create_dnr_state, make_dnr_train_step, make_dnr_eval_step,
+    save_checkpoint, load_checkpoint,
+)
+from rnr_tpu.train.steps import build_dnr_modules, rnr_texture_flatten_init
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _tiny_rnr_cfg():
+    return RNRConfig(
+        texture=TextureConfig(texture_size=32, texture_num_ch=24, mipmap_level=2),
+        lighting=LightingConfig(sh_lmax=2, num_sample=64, num_lighting=2,
+                                lp_recon_h=8, lp_recon_w=16),
+        rays=RaysConfig(num_azi=2, num_polar=1),
+        gcn=GCNTrainConfig(n_filters=8, kernel_size=4, n_blocks=2,
+                           out_channels=16),
+        render_net=RenderNetConfig(nf0=8, num_down_unet=3),
+        loss=LossConfig(border_crop=2),
+        train=TrainConfig(lr=2e-3, img_size=32),
+    )
+
+
+def _fib_sphere(n):
+    i = np.arange(n) + 0.5
+    phi = np.arccos(1 - 2 * i / n)
+    theta = np.pi * (1 + 5 ** 0.5) * i
+    return np.stack(
+        [np.sin(phi) * np.cos(theta), np.sin(phi) * np.sin(theta), np.cos(phi)]
+    ).astype(np.float32)
+
+
+def _rnr_batch(rng, s=32, v=32):
+    normal = rng.standard_normal((1, s, s, 3)).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+    tbn = np.broadcast_to(np.eye(3, dtype=np.float32), (1, s, s, 3, 3))
+    vdt = np.broadcast_to(
+        np.asarray([0, 0, 1], np.float32), (1, s, s, 3)
+    )
+    return {
+        "uv_map": jnp.asarray(rng.uniform(0, 1, (1, s, s, 2)).astype(np.float32)),
+        "sh_basis_map": jnp.asarray(
+            rng.uniform(-1, 1, (1, s, s, 9)).astype(np.float32)
+        ),
+        "normal_map": jnp.asarray(normal),
+        "view_dir_map": jnp.asarray(vdt.copy()),
+        "view_dir_map_tangent": jnp.asarray(vdt.copy()),
+        "TBN_map": jnp.asarray(tbn.copy()),
+        "alpha_map": jnp.ones((1, s, s, 1)),
+        "img_gt": jnp.asarray(
+            rng.uniform(0, 1, (1, s, s, 3)).astype(np.float32)
+        ),
+        "gcn_pos": jnp.asarray(rng.standard_normal((v, 3)).astype(np.float32)),
+    }
+
+
+def test_rnr_train_loss_decreases(rng):
+    cfg = _tiny_rnr_cfg()
+    l_dir = _fib_sphere(64)
+    model = RNRModel(cfg=cfg, l_dir=l_dir)
+    batch = _rnr_batch(rng)
+    state, tx = create_rnr_state(model, KEY, batch, cfg.train.lr)
+
+    statics = {
+        "l_samples_init": jnp.asarray(
+            rng.uniform(0, 1, (64, 3)).astype(np.float32)
+        ),
+        "l_samples_mask": jnp.asarray(
+            (rng.uniform(size=64) > 0.3).astype(np.float32)
+        ),
+        "tex_flatten_init": rnr_texture_flatten_init(model, state.params),
+    }
+    step = make_rnr_train_step(model, tx)
+    losses = []
+    k = KEY
+    for i in range(8):
+        k, sub = jax.random.split(k)
+        state, metrics = step(state, batch, statics, sub)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # The albedo prior is exactly zero at init (no texel has moved yet,
+    # train_rnr.py:598-607) and activates after the first update, so the
+    # decreasing trend starts at step 1.
+    assert losses[-1] < losses[1], f"loss did not decrease: {losses}"
+    assert float(state.step) == 8
+
+    # eval + relighting
+    ev = make_rnr_eval_step(model)
+    out = ev(state, batch)
+    assert out["img"].shape == (1, 32, 32, 3)
+    lp = jnp.full((1, 8, 16, 3), 0.9)
+    out_re = ev(state, batch, lp_override=lp, relight=True)
+    assert not np.allclose(np.asarray(out["img"]), np.asarray(out_re["img"]))
+
+
+def test_rnr_checkpoint_roundtrip(rng, tmp_path):
+    cfg = _tiny_rnr_cfg()
+    model = RNRModel(cfg=cfg, l_dir=_fib_sphere(64))
+    batch = _rnr_batch(rng)
+    state, tx = create_rnr_state(model, KEY, batch, cfg.train.lr)
+    # params tree carries the reference's checkpoint part names
+    for part in ["texture_mapper", "render_net", "gcn", "lighting"]:
+        assert part in state.params, sorted(state.params)
+    p = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(p, state)
+    template, _ = create_rnr_state(model, jax.random.PRNGKey(7), batch, cfg.train.lr)
+    restored = load_checkpoint(p, template)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+    chex_equal = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        state.params, restored.params,
+    )
+    assert all(jax.tree.leaves(chex_equal))
+
+
+def _dnr_batch(rng, s=32):
+    return {
+        "uv_map": jnp.asarray(rng.uniform(0, 1, (2, s, s, 2)).astype(np.float32)),
+        "sh_basis_map": jnp.asarray(
+            rng.uniform(-1, 1, (2, s, s, 9)).astype(np.float32)
+        ),
+        "alpha_map": jnp.ones((2, s, s, 1)),
+        "img_gt": jnp.asarray(rng.uniform(0, 1, (2, s, s, 3)).astype(np.float32)),
+    }
+
+
+def test_dnr_train_loss_decreases(rng):
+    cfg = DNRConfig(
+        texture=TextureConfig(texture_size=32, texture_num_ch=12, mipmap_level=2),
+        render_net=RenderNetConfig(nf0=8, num_down_unet=3),
+        loss=LossConfig(border_crop=2),
+        train=TrainConfig(lr=2e-3, img_size=32),
+    )
+    batch = _dnr_batch(rng)
+    mods, state, tx = create_dnr_state(cfg, KEY, batch, cfg.train.lr)
+    step = make_dnr_train_step(cfg, mods, tx)
+    losses = []
+    k = KEY
+    for _ in range(10):
+        k, sub = jax.random.split(k)
+        state, metrics = step(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, f"loss did not decrease: {losses}"
+    ev = make_dnr_eval_step(cfg, mods)
+    out = ev(state, batch)
+    assert out.shape == (2, 32, 32, 3)
