@@ -23,10 +23,21 @@ import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
     from __graft_entry__ import _build
     from rnr_tpu.train import create_rnr_state, make_rnr_train_step
@@ -64,17 +75,19 @@ def main() -> None:
     }
     step = make_rnr_train_step(model, tx)
 
-    # compile + warmup
+    # compile + warmup.  NOTE: force a host value transfer rather than
+    # block_until_ready — the experimental axon backend's readiness wait
+    # returns early, which silently breaks timing.
     for i in range(2):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, batch, statics, sub)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(steps):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, batch, statics, sub)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     fps = steps / dt

@@ -31,16 +31,39 @@ def _resolve_index(tok: str, count: int) -> int:
     return i - 1 if i > 0 else count + i
 
 
-def load_obj(path: str, normalization: bool = False) -> MeshData:
+def load_obj(path: str, normalization: bool = False,
+             use_native: bool = True) -> MeshData:
     """Parse an OBJ file.
 
     Args:
       path: file path.
       normalization: if True, translate/scale vertices into the unit cube
         centered at the origin (reference: load_obj.py:197-201).
+      use_native: prefer the C++ mmap parser (native/rnr_native.cpp) when
+        the library is available; falls back to this Python parser.
 
     Returns MeshData with zero-based int32 face index triplets.
     """
+    if use_native:
+        try:
+            from rnr_tpu.data.native import parse_obj_native
+
+            res = parse_obj_native(path)
+        except Exception:
+            res = None
+        if res is not None:
+            v, vt, vn, fv, fvt, fvn = res
+            if normalization and len(v):
+                vmin = v.min(0)
+                vmax = v.max(0)
+                v = v - (vmax + vmin) / 2.0
+                v = v / np.abs(v).max()
+            # python-parser parity: drop the triplet arrays entirely when
+            # no face carried that attribute
+            fvt = fvt if len(fvt) and (fvt >= 0).all() else np.zeros((0, 3), np.int32)
+            fvn = fvn if len(fvn) and (fvn >= 0).all() else np.zeros((0, 3), np.int32)
+            return MeshData(v=v, vn=vn, vt=vt, f_v_idx=fv,
+                            f_vn_idx=fvn, f_vt_idx=fvt)
     vs: list[list[float]] = []
     vns: list[list[float]] = []
     vts: list[list[float]] = []
@@ -89,6 +112,12 @@ def load_obj(path: str, normalization: bool = False) -> MeshData:
         v = v - (vmax + vmin) / 2.0
         v = v / np.abs(v).max()
 
+    # vt/vn index triplets are only meaningful when every face carries
+    # them; a mixed-format OBJ degrades to positions-only faces.
+    if len(fvt) != len(fv):
+        fvt = []
+    if len(fvn) != len(fv):
+        fvn = []
     return MeshData(
         v=v,
         vn=np.asarray(vns, np.float32).reshape(-1, 3),

@@ -1,0 +1,69 @@
+"""Pallas rasterizer parity vs the XLA oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rnr_tpu.ops.rasterize import rasterize_face_index
+from rnr_tpu.ops.rasterize_pallas import rasterize_pallas, _bin_faces
+
+from test_rasterize import _random_faces
+
+
+def test_bin_faces_coverage(rng):
+    s = 64
+    faces = _random_faces(rng, 10).astype(np.float32)
+    data, ids = _bin_faces(jnp.asarray(faces), s, 32, 32, 16)
+    ids = np.asarray(ids)  # [T, K]
+    assert ids.shape == (4, 16)
+    # every front face lands in at least one tile
+    assert set(range(10)) <= set(ids[ids >= 0].tolist())
+    # face data rows carry the face's coordinates
+    t, k = np.argwhere(ids == 3)[0]
+    np.testing.assert_allclose(
+        np.asarray(data)[t, k, :9], faces[3].reshape(9), rtol=1e-6
+    )
+
+
+def test_pallas_matches_oracle(rng):
+    s = 64
+    for trial in range(3):
+        faces = _random_faces(rng, 12).astype(np.float32)[None]
+        want = rasterize_face_index(jnp.asarray(faces), s, far=100.0, face_chunk=4)
+        got = rasterize_pallas(
+            jnp.asarray(faces), s, far=100.0, tile_h=32, tile_w=32,
+            max_faces_per_tile=16, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.face_index_map), np.asarray(want.face_index_map)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.depth_map), np.asarray(want.depth_map), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.weight_map), np.asarray(want.weight_map), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.alpha_map), np.asarray(want.alpha_map)
+        )
+
+
+def test_pallas_tile_overflow_drops_gracefully(rng):
+    # more faces than max_faces_per_tile in one tile: the nearest K keep
+    # rendering; no crash, alpha still covered
+    s = 32
+    faces = np.stack(
+        [_random_faces(rng, 1)[0] for _ in range(8)], axis=0
+    ).astype(np.float32)
+    # put all faces over the whole screen
+    faces[:, :, :2] = np.array([[-0.9, -0.9], [0.9, -0.9], [0.0, 0.9]])
+    faces[:, :, 2] = np.linspace(1, 2, 8)[:, None]
+    out = rasterize_pallas(
+        jnp.asarray(faces[None]), s, far=10.0, tile_h=32, tile_w=32,
+        max_faces_per_tile=4, interpret=True,
+    )
+    a = np.asarray(out.alpha_map)
+    assert a.sum() > 0
+    # the kept candidates are the first 4 faces; nearest of those wins
+    fim = np.asarray(out.face_index_map)
+    assert set(fim[fim >= 0].tolist()) <= {0, 1, 2, 3}
+    assert (np.asarray(out.depth_map)[fim >= 0] == 1.0).all()
