@@ -34,3 +34,17 @@ from rnr_tpu.ops.cameras import (
 )
 from rnr_tpu.ops.tbn import face_tangents, get_tbn_map
 from rnr_tpu.ops.metrics import masked_err_metrics, psnr, ssim
+from rnr_tpu.ops.rasterize import rasterize_face_index, pixel_attrs, RasterOutput
+from rnr_tpu.ops.render_api import (
+    Renderer,
+    look,
+    look_at,
+    perspective,
+    get_points_from_angles,
+    lighting,
+    sample_textures,
+    rasterize_rgbad,
+    rasterize_silhouettes,
+    rasterize_depth,
+    fill_back_faces,
+)
