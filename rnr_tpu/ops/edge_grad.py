@@ -1,0 +1,217 @@
+"""Screen-space coverage (silhouette/edge) gradients for rasterization.
+
+The reference implements these in `backward_pixel_map_cuda`
+(rasterize_cuda_kernel.cu:244-503): for every face it walks the pixels
+crossed by each of its three edges and accumulates
+(neighbor_pixel - edge_pixel) * grad_out / distance into the edge
+vertices' screen x/y — a finite-difference approximation of how coverage
+changes when an edge sweeps across pixel centers.  That edge-walk is a
+data-dependent scatter loop, hostile to SPMD hardware.
+
+The TPU-native reformulation inverts the direction of the computation:
+instead of faces scattering to pixels, every *boundary pixel* gathers its
+own contribution and a `segment_sum` over vertex ids accumulates
+gradients — static shapes, no atomics:
+
+  * A pixel p contributes where its alpha/rgb differs from a 4-neighbor q.
+  * The edge that separates p from q belongs to the covering face (of p or
+    q, whichever is covered); its crossing edge is identified as the one
+    whose clamped barycentric is smallest at the uncovered side.
+  * d(pixel value)/d(edge shift along the p->q axis) ~
+    (value_q - value_p) / dist, with dist >= 1 px (the CUDA kernel's
+    eps-regularized divisor) and the shift distributed to the edge's two
+    vertices by their barycentric split at the crossing point.
+
+Gradients match the reference's in direction and 1/dist magnitude law;
+they are validated against finite differences of the rendered coverage in
+tests (bit-parity with the CUDA walk is neither required nor meaningful
+for an approximation of a discontinuous function).
+
+`rasterize_opt` packages this with the analytic interior gradients
+(pixel_attrs) into a custom-VJP rasterization usable for silhouette- or
+photometric-based mesh optimization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rnr_tpu.ops.rasterize import (
+    rasterize_face_index,
+    face_inv_matrix,
+    _ndc_to_pixel,
+)
+
+
+def _neighbor_shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
+    """Shift [N, S, S, ...] image by (dy, dx), filling exposed pixels."""
+    out = jnp.roll(x, shift=(-dy, -dx), axis=(1, 2))
+    s = x.shape[1]
+    if dy == 1:
+        out = out.at[:, s - 1].set(fill)
+    elif dy == -1:
+        out = out.at[:, 0].set(fill)
+    if dx == 1:
+        out = out.at[:, :, s - 1].set(fill)
+    elif dx == -1:
+        out = out.at[:, :, 0].set(fill)
+    return out
+
+
+def edge_gradients(
+    faces: jax.Array,
+    face_index_map: jax.Array,
+    weight_map: jax.Array,
+    alpha_map: jax.Array,
+    grad_alpha: jax.Array | None = None,
+    rgb_map: jax.Array | None = None,
+    grad_rgb: jax.Array | None = None,
+    eps: float = 1e-3,
+) -> jax.Array:
+    """Accumulate coverage gradients into projected face vertices.
+
+    Args:
+      faces: [N, F, 3, 3] NDC faces (xy used).
+      face_index_map / weight_map / alpha_map: raster outputs (image
+        orientation, [N,S,S] / [N,S,S,3] / [N,S,S]).
+      grad_alpha: [N, S, S] upstream gradient on the alpha map (or None).
+      rgb_map / grad_rgb: [N, S, S, C] rendered colors + upstream grads
+        (or None) — the photometric edge term.
+
+    Returns grad_faces [N, F, 3, 3] (z column zero).
+    """
+    n, f = faces.shape[0], faces.shape[1]
+    s = face_index_map.shape[1]
+    dtype = faces.dtype
+
+    p = _ndc_to_pixel(faces[..., :2], s)       # [N, F, 3, 2] pixel coords
+    finv = face_inv_matrix(p)                  # [N, F, 3, 3]
+
+    covered = face_index_map >= 0
+    safe_idx = jnp.clip(face_index_map, 0, f - 1)
+
+    def take_face(arr, idx):
+        return jnp.take_along_axis(
+            arr.reshape(n, f, -1),
+            idx.reshape(n, -1, 1).astype(jnp.int32),
+            axis=1,
+        ).reshape((n, s, s) + arr.shape[2:])
+
+    # value maps for the photometric term default to alpha-only
+    def value_diff(dy, dx):
+        """(value_q - value_p) . grad_p summed over channels, per pixel."""
+        total = jnp.zeros((n, s, s), dtype)
+        if grad_alpha is not None:
+            a_q = _neighbor_shift(alpha_map, dy, dx, 0.0)
+            total = total + (a_q - alpha_map) * grad_alpha
+        if grad_rgb is not None and rgb_map is not None:
+            r_q = _neighbor_shift(rgb_map, dy, dx, 0.0)
+            total = total + jnp.sum((r_q - rgb_map) * grad_rgb, axis=-1)
+        return total
+
+    # Pixel-center integer coordinates in raster orientation (the maps are
+    # image-oriented: raster yi = S-1-row).
+    xi = jnp.broadcast_to(
+        jnp.arange(s, dtype=dtype)[None, None, :], (n, s, s)
+    )
+    yi = jnp.broadcast_to(
+        ((s - 1) - jnp.arange(s, dtype=dtype))[None, :, None], (n, s, s)
+    )
+
+    grad_faces = jnp.zeros((n, f, 3, 2), dtype)
+
+    # For each neighbor direction, boundary pixels contribute.
+    for (dy, dx) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        vdiff = value_diff(dy, dx)                      # [N, S, S]
+        boundary = covered & (vdiff != 0.0)
+
+        # the covering face on the p side owns the edge
+        fidx = safe_idx
+        w_p = weight_map                                 # [N, S, S, 3]
+        inv_p = take_face(finv, fidx).reshape(n, s, s, 3, 3)
+
+        # direction of travel in raster coords: +x is +xi; +y neighbor in
+        # image rows means -yi in raster orientation.
+        ax = 0 if dx != 0 else 1
+        step = dx if dx != 0 else -dy
+
+        # crossing edge = barycentric that hits zero first when moving
+        # toward q: rate of each w along the axis
+        rate = inv_p[..., :, ax] * step                  # [N, S, S, 3]
+        # distance (in pixels) until w_k reaches 0 moving toward q
+        dist_k = jnp.where(
+            rate < -eps, w_p / jnp.maximum(-rate, eps), jnp.inf
+        )
+        k_min = jnp.argmin(dist_k, axis=-1)              # [N, S, S]
+        dist = jnp.take_along_axis(
+            dist_k, k_min[..., None], axis=-1
+        )[..., 0]
+        dist = jnp.clip(dist, 1.0, None)                 # CUDA's >=1px guard
+
+        # gradient magnitude on the edge position (toward q is +):
+        # moving the edge one pixel toward q changes pixel p's value by
+        # (v_q - v_p) when dist<=1; scale by 1/dist otherwise.
+        g_edge = jnp.where(boundary, -vdiff / dist, 0.0)  # [N, S, S]
+
+        # distribute to the two edge vertices (the corners != k_min) by
+        # their barycentric split at the pixel
+        others = jnp.stack(
+            [(k_min + 1) % 3, (k_min + 2) % 3], axis=-1
+        )                                                # [N, S, S, 2]
+        w_oth = jnp.take_along_axis(w_p, others, axis=-1)
+        w_sum = jnp.maximum(w_oth.sum(-1, keepdims=True), eps)
+        split = w_oth / w_sum                            # [N, S, S, 2]
+
+        # screen-space axis: gradient applies to vertex coordinate `ax`
+        # with sign `step` (toward q positive)
+        contrib = g_edge[..., None] * split * step       # [N, S, S, 2]
+
+        # scatter into [F, 3, 2] via segment_sum over (face, corner)
+        corner_ids = others                              # [N, S, S, 2]
+        seg = (fidx[..., None] * 3 + corner_ids).reshape(n, -1)
+        vals = contrib.reshape(n, -1)
+        upd = jax.vmap(
+            lambda sg, vl: jax.ops.segment_sum(vl, sg, num_segments=f * 3)
+        )(seg, vals)
+        grad_faces = grad_faces.at[..., ax].add(
+            upd.reshape(n, f, 3)
+        )
+
+    # pixel-coord gradients -> NDC gradients: p = (x_ndc * S + S - 1) / 2
+    grad_ndc = grad_faces * (s / 2.0)
+    return jnp.concatenate(
+        [grad_ndc, jnp.zeros((n, f, 3, 1), dtype)], axis=-1
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def silhouette(faces, image_size: int, near: float = 0.0, far: float = 1e5):
+    """Differentiable silhouette: alpha map with coverage gradients.
+
+    Forward identical to `rasterize_face_index(...).alpha_map`; backward
+    routes the upstream alpha gradient through `edge_gradients`.
+    """
+    return rasterize_face_index(faces, image_size, near=near, far=far).alpha_map
+
+
+def _sil_fwd(faces, image_size, near, far):
+    out = rasterize_face_index(faces, image_size, near=near, far=far)
+    return out.alpha_map, (faces, out)
+
+
+def _sil_bwd(image_size, near, far, res, g):
+    faces, out = res
+    grad = edge_gradients(
+        faces,
+        out.face_index_map,
+        out.weight_map,
+        out.alpha_map,
+        grad_alpha=g,
+    )
+    return (grad,)
+
+
+silhouette.defvjp(_sil_fwd, _sil_bwd)
