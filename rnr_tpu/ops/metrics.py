@@ -85,6 +85,11 @@ def ssim(
     """
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
+    # shrink the window for images smaller than the default 11x11 (keeps
+    # bounding-box SSIM defined on small crops)
+    max_win = min(img1.shape[1], img1.shape[2])
+    if win_size > max_win:
+        win_size = max_win if max_win % 2 == 1 else max_win - 1
     kernel = _gaussian_kernel(win_size, sigma)
 
     def blur(x):
