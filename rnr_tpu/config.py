@@ -57,6 +57,7 @@ class GCNTrainConfig:
     epsilon: float = 0.2
     stochastic: bool = True
     out_channels: int = 512
+    knn_approx: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +65,7 @@ class RenderNetConfig:
     nf0: int = 64
     num_down_unet: int = 5
     norm: str = "batch"  # "batch" | "group" | "none"
+    compute_dtype: str = "bfloat16"  # conv compute dtype; params stay f32
 
 
 @dataclasses.dataclass(frozen=True)

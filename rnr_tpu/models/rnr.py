@@ -65,6 +65,7 @@ class RNRModel(nn.Module):
             out_channels_gcn=c.gcn.out_channels,
             use_gcn=c.use_gcn,
             norm=c.render_net.norm,  # type: ignore[arg-type]
+            compute_dtype=c.render_net.compute_dtype,
         )
         if c.use_gcn:
             self.gcn = DenseDeepGCN(
@@ -78,6 +79,7 @@ class RNRModel(nn.Module):
                     stochastic=c.gcn.stochastic,
                     epsilon=c.gcn.epsilon,
                     out_channels=c.gcn.out_channels,
+                    knn_approx=c.gcn.knn_approx,
                 )
             )
         self.lighting = LightingSH(

@@ -57,10 +57,12 @@ class BatchActNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-        var = jnp.var(x, axis=(0, 1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        in_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(0, 1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(in_dtype)
 
 
 def _make_norm(kind: NormKind):
@@ -85,6 +87,7 @@ class DownBlock(nn.Module):
     dropout_prob: float = 0.1
     stride: int = 2
     kernel: int = 4
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
@@ -92,7 +95,8 @@ class DownBlock(nn.Module):
         if self.prep_conv:
             mid = self.middle_ch or x.shape[-1]
             x = _reflect_pad(x, 1)
-            x = nn.Conv(mid, (3, 3), padding="VALID", use_bias=use_bias)(x)
+            x = nn.Conv(mid, (3, 3), padding="VALID", use_bias=use_bias,
+                        dtype=self.dtype)(x)
             if (norm := _make_norm(self.norm)) is not None:
                 x = norm(x)
             x = nn.leaky_relu(x, 0.2)
@@ -105,6 +109,7 @@ class DownBlock(nn.Module):
             strides=(self.stride, self.stride),
             padding="VALID",
             use_bias=use_bias,
+            dtype=self.dtype,
         )(x)
         if (norm := _make_norm(self.norm)) is not None:
             x = norm(x)
@@ -125,13 +130,14 @@ class UpBlock(nn.Module):
     norm: NormKind = "batch"
     use_dropout: bool = False
     dropout_prob: float = 0.1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
         use_bias = self.norm == "none"
         x = nn.ConvTranspose(
             self.out_ch, (4, 4), strides=(2, 2), padding="SAME",
-            use_bias=use_bias,
+            use_bias=use_bias, dtype=self.dtype,
         )(x)
         if (norm := _make_norm(self.norm)) is not None:
             x = norm(x)
@@ -140,7 +146,8 @@ class UpBlock(nn.Module):
             x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
         if self.post_conv:
             x = _reflect_pad(x, 1)
-            x = nn.Conv(self.out_ch, (3, 3), padding="VALID", use_bias=use_bias)(x)
+            x = nn.Conv(self.out_ch, (3, 3), padding="VALID", use_bias=use_bias,
+                        dtype=self.dtype)(x)
             if (norm := _make_norm(self.norm)) is not None:
                 x = norm(x)
             x = nn.relu(x)
@@ -168,11 +175,16 @@ class Unet(nn.Module):
     out_channels_gcn: int = 512
     use_gcn: bool = True
     outermost_highway_mode: Literal["concat", "residual", "no_highway"] = "concat"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
         self, x: jax.Array, v_fea: jax.Array | None = None, *, train: bool = True
     ) -> jax.Array:
+        cdtype = jnp.dtype(self.compute_dtype)
+        x = x.astype(cdtype)
+        if v_fea is not None:
+            v_fea = v_fea.astype(cdtype)
         nd = self.num_down
         chs = [self.nf0] + [
             min(2 ** (i + 1) * self.nf0, self.max_channels) for i in range(nd)
@@ -181,7 +193,8 @@ class Unet(nn.Module):
         # in layer (pytorch_prototyping.py:470-481)
         use_bias_in = self.norm == "none"
         h = _reflect_pad(x, 1)
-        h = nn.Conv(self.nf0, (3, 3), padding="VALID", use_bias=use_bias_in)(h)
+        h = nn.Conv(self.nf0, (3, 3), padding="VALID", use_bias=use_bias_in,
+                    dtype=cdtype)(h)
         if (norm := _make_norm(self.norm)) is not None:
             h = norm(h)
         h = nn.leaky_relu(h, 0.2)
@@ -198,6 +211,7 @@ class Unet(nn.Module):
                 norm=level_norm,
                 use_dropout=self.use_dropout,
                 dropout_prob=self.dropout_prob,
+                dtype=cdtype,
             )(h, train=train)
             if i == 0 and self.use_gcn:
                 if v_fea is None:
@@ -215,6 +229,7 @@ class Unet(nn.Module):
                     dropout_prob=self.dropout_prob,
                     stride=1,
                     kernel=3,
+                    dtype=cdtype,
                 )(h, train=train)
 
         # decoder with per-level skip concat
@@ -225,6 +240,7 @@ class Unet(nn.Module):
                 norm=level_norm,
                 use_dropout=self.use_dropout,
                 dropout_prob=self.dropout_prob,
+                dtype=cdtype,
             )(h, train=train)
             if i == 0:
                 mode = self.outermost_highway_mode
@@ -239,7 +255,8 @@ class Unet(nn.Module):
         # out layer (pytorch_prototyping.py:508-528)
         out_bias = self.outermost_linear or self.norm == "none"
         h = _reflect_pad(h, 1)
-        h = nn.Conv(self.out_channels, (3, 3), padding="VALID", use_bias=out_bias)(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="VALID", use_bias=out_bias,
+                    dtype=cdtype)(h)
         if not self.outermost_linear:
             if (norm := _make_norm(self.norm)) is not None:
                 h = norm(h)
@@ -260,6 +277,7 @@ class RenderingNet(nn.Module):
     use_gcn: bool = True
     outermost_highway_mode: str = "concat"
     norm: NormKind = "batch"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -278,5 +296,6 @@ class RenderingNet(nn.Module):
             out_channels_gcn=self.out_channels_gcn,
             use_gcn=self.use_gcn,
             outermost_highway_mode=self.outermost_highway_mode,  # type: ignore[arg-type]
+            compute_dtype=self.compute_dtype,
         )(x, v_fea, train=train)
-        return jnp.tanh(y)
+        return jnp.tanh(y.astype(jnp.float32))

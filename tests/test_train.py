@@ -28,7 +28,10 @@ def _tiny_rnr_cfg():
         rays=RaysConfig(num_azi=2, num_polar=1),
         gcn=GCNTrainConfig(n_filters=8, kernel_size=4, n_blocks=2,
                            out_channels=16),
-        render_net=RenderNetConfig(nf0=8, num_down_unet=3),
+        # float32 compute keeps cross-device parity checks tight; bf16 is
+        # the production default
+        render_net=RenderNetConfig(nf0=8, num_down_unet=3,
+                                   compute_dtype="float32"),
         loss=LossConfig(border_crop=2),
         train=TrainConfig(lr=2e-3, img_size=32),
     )
