@@ -24,7 +24,12 @@ from rnr_tpu.ops.sh import (
     reconstruct_sh,
     num_sh_basis,
 )
-from rnr_tpu.ops.projection import projection, vertices_to_faces, vertex_attrs_to_faces
+from rnr_tpu.ops.projection import (
+    projection,
+    vertices_to_faces,
+    vertex_attrs_to_faces,
+    interp_vertex_attr,
+)
 from rnr_tpu.ops.cameras import (
     get_view_dir_map,
     get_reflect_dir,
@@ -32,7 +37,7 @@ from rnr_tpu.ops.cameras import (
     get_spiral,
     euler_to_rot,
 )
-from rnr_tpu.ops.tbn import face_tangents, get_tbn_map
+from rnr_tpu.ops.tbn import face_tangents, get_tbn_map, get_tbn_map_perpixel
 from rnr_tpu.ops.metrics import masked_err_metrics, psnr, ssim
 from rnr_tpu.ops.rasterize import rasterize_face_index, pixel_attrs, RasterOutput
 from rnr_tpu.ops.render_api import (

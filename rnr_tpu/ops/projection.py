@@ -88,3 +88,26 @@ def vertex_attrs_to_faces(vertex_attrs: jax.Array, faces: jax.Array) -> jax.Arra
     Reference: neural_renderer/vertex_attrs_to_faces.py:4-21.
     """
     return jax.vmap(lambda v, f: v[f])(vertex_attrs, faces)
+
+
+def interp_vertex_attr(
+    v_attr: jax.Array,
+    faces_v_idx: jax.Array,
+    face_index_map: jax.Array,
+    weight_map: jax.Array,
+) -> jax.Array:
+    """Barycentric interpolation of vertex attributes over a raster.
+
+    v_attr: [V, A] or [N, V, A]; faces_v_idx: [N, F, 3];
+    face_index_map: [N, H, W]; weight_map: [N, H, W, 3, 1].
+    Returns [N, H, W, A]  (reference: render.py:11-28, vectorized — no
+    per-batch Python loop).
+    """
+    n = faces_v_idx.shape[0]
+    if v_attr.ndim == 2:
+        v_attr = jnp.broadcast_to(v_attr[None], (n,) + v_attr.shape)
+    faces_attr = vertex_attrs_to_faces(v_attr, faces_v_idx)  # [N, F, 3, A]
+    f = faces_attr.shape[1]
+    idx = jnp.clip(face_index_map, 0, f - 1)
+    px = jax.vmap(lambda fa, i: fa[i])(faces_attr, idx)  # [N, H, W, 3, A]
+    return jnp.sum(px * weight_map, axis=-2)

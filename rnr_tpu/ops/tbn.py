@@ -64,3 +64,55 @@ def get_tbn_map(
     # Re-orthogonalize the tangent against the interpolated normal.
     tangent_map = _normalize(jnp.cross(bitangent_map, normal_map))
     return jnp.stack((tangent_map, bitangent_map, normal_map), axis=-1)
+
+
+def get_tbn_map_perpixel(
+    normal_map: jax.Array,
+    position_map: jax.Array,
+    uv_map: jax.Array,
+    alpha_map: jax.Array,
+) -> jax.Array:
+    """Screen-space TBN from finite differences of position/uv maps.
+
+    Per-pixel variant that needs no face data: tangents come from the
+    image-space derivatives of world position vs uv (reference:
+    render.py:171-219, unused by the shipped drivers but part of the API).
+
+    Args: normal_map/position_map [N,H,W,3], uv_map [N,H,W,2],
+    alpha_map [N,H,W,1].  Returns [N,H,W,3,3].
+    """
+    data = jnp.concatenate([position_map, uv_map], axis=-1)  # [N,H,W,5]
+
+    def fwd_diff(x, axis):
+        d = jnp.diff(x, axis=axis)
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, 1)
+        return jnp.pad(d, pad)
+
+    def bwd_diff(x, axis):
+        d = jnp.diff(x, axis=axis)
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (1, 0)
+        return jnp.pad(d, pad)
+
+    a = alpha_map
+    a_x0 = (fwd_diff(a, 2) + a * 2 > 1.5) & (a > 0)  # next-pixel valid
+    a_y0 = (fwd_diff(a, 1) + a * 2 > 1.5) & (a > 0)
+
+    ex = jnp.where(a_x0, fwd_diff(data, 2), bwd_diff(data, 2))
+    ey = jnp.where(a_y0, fwd_diff(data, 1), bwd_diff(data, 1))
+
+    dpos1, duv1 = ex[..., :3], ex[..., 3:]
+    dpos2, duv2 = ey[..., :3], ey[..., 3:]
+    det = duv1[..., 0] * duv2[..., 1] - duv2[..., 0] * duv1[..., 1]
+    f = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tangent = f[..., None] * (
+        duv2[..., 1:2] * dpos1 - duv1[..., 1:2] * dpos2
+    )
+    tangent = _normalize(tangent)
+    bitangent = f[..., None] * (
+        -duv2[..., 0:1] * dpos1 + duv1[..., 0:1] * dpos2
+    )
+    bitangent = _normalize(bitangent)
+    normal = _normalize(normal_map)
+    return jnp.stack((tangent, bitangent, normal), axis=-1)

@@ -1,0 +1,98 @@
+"""Tests for interp_vertex_attr, per-pixel TBN, prefetch, make_spiral."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rnr_tpu.ops import interp_vertex_attr, get_tbn_map_perpixel
+from rnr_tpu.data.prefetch import prefetch
+
+
+def test_interp_vertex_attr_constant_field(rng):
+    v_attr = jnp.ones((6, 4)) * 2.5
+    faces = jnp.asarray([[[0, 1, 2], [3, 4, 5]]], jnp.int32)
+    fim = jnp.asarray(rng.integers(-1, 2, (1, 8, 8)).astype(np.int32))
+    w = jnp.full((1, 8, 8, 3, 1), 1.0 / 3.0)
+    out = np.asarray(interp_vertex_attr(v_attr, faces, fim, w))
+    np.testing.assert_allclose(out, 2.5, atol=1e-5)
+
+
+def test_interp_vertex_attr_selects_face(rng):
+    v_attr = jnp.asarray(np.arange(6, dtype=np.float32)[:, None])
+    faces = jnp.asarray([[[0, 0, 0], [5, 5, 5]]], jnp.int32)
+    fim = jnp.asarray([[[0, 1]]], jnp.int32)  # [1,1,2]
+    w = jnp.full((1, 1, 2, 3, 1), 1.0 / 3.0)
+    out = np.asarray(interp_vertex_attr(v_attr, faces, fim, w))
+    np.testing.assert_allclose(out[0, 0, 0, 0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(out[0, 0, 1, 0], 5.0, atol=1e-5)
+
+
+def test_tbn_perpixel_plane():
+    # a flat plane in xy with uv == xy: tangent ~ +x, bitangent ~ +y
+    s = 8
+    ys, xs = np.mgrid[0:s, 0:s].astype(np.float32) / s
+    pos = np.stack([xs, ys, np.zeros_like(xs)], -1)[None]
+    uv = np.stack([xs, ys], -1)[None]
+    normal = np.broadcast_to(
+        np.asarray([0, 0, 1], np.float32), (1, s, s, 3)
+    ).copy()
+    alpha = np.ones((1, s, s, 1), np.float32)
+    tbn = np.asarray(
+        get_tbn_map_perpixel(
+            jnp.asarray(normal), jnp.asarray(pos), jnp.asarray(uv),
+            jnp.asarray(alpha),
+        )
+    )
+    inner = tbn[0, 2:-2, 2:-2]
+    np.testing.assert_allclose(
+        inner[..., 0], np.broadcast_to([1, 0, 0], inner[..., 0].shape),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        inner[..., 1], np.broadcast_to([0, 1, 0], inner[..., 1].shape),
+        atol=1e-4,
+    )
+
+
+def test_prefetch_order_and_transform():
+    out = list(prefetch(range(10), depth=3, transform=lambda x: x * 2))
+    assert out == [2 * i for i in range(10)]
+
+
+def test_prefetch_propagates_errors():
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = iter(prefetch(gen()))
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        list(it)
+
+
+def test_make_spiral(tmp_path):
+    import scipy.io
+    from rnr_tpu.drivers import make_spiral
+    from test_pipeline_e2e import make_scene
+
+    root = make_scene(str(tmp_path))
+    make_spiral.main(
+        ["--data_root", root, "--num_step", "24", "--step_azi", "-15"]
+    )
+    calib = scipy.io.loadmat(
+        os.path.join(root, "test_seq", "spiral_step720", "calib.mat")
+    )
+    assert calib["poses"].shape == (24, 4, 4)
+    # all cameras at equal distance from the origin-centered sphere
+    d = []
+    gRT_inv = np.linalg.inv(calib["global_RT"])
+    for i in range(24):
+        pose = calib["poses"][i] @ gRT_inv
+        d.append(np.linalg.norm(-pose[:3, :3].T @ pose[:3, 3]))
+    # constant distance from the mesh center (which sits slightly off the
+    # origin for a seam-duplicated UV sphere), hence loose origin-distance
+    np.testing.assert_allclose(d, d[0], rtol=5e-2)
+    np.testing.assert_allclose(d[0], 2.0 + 0.25, atol=0.4)
