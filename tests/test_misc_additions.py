@@ -96,3 +96,26 @@ def test_make_spiral(tmp_path):
     # origin for a seam-duplicated UV sphere), hence loose origin-distance
     np.testing.assert_allclose(d, d[0], rtol=5e-2)
     np.testing.assert_allclose(d[0], 2.0 + 0.25, atol=0.4)
+
+
+def test_unet3d_and_sampling_nets():
+    import jax
+    from rnr_tpu.models.unet3d import Unet3d, DownsamplingNet, UpsamplingNet
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 8, 8, 8, 2))
+    net = Unet3d(in_channels=2, out_channels=3, nf0=4, num_down=2,
+                 max_channels=16)
+    params = net.init(key, x)
+    y = net.apply(params, x)
+    assert y.shape == (1, 8, 8, 8, 3)
+
+    img = jax.random.normal(key, (1, 16, 16, 4))
+    down = DownsamplingNet([8, 16])
+    p2 = down.init(key, img)
+    d = down.apply(p2, img)
+    assert d.shape == (1, 4, 4, 16)
+    up = UpsamplingNet([8, 4])
+    p3 = up.init(key, d)
+    u = up.apply(p3, d)
+    assert u.shape == (1, 16, 16, 4)
