@@ -40,6 +40,11 @@ class GCNConfig:
     num_v: int = 7500
     out_channels: int = 512
     knn_approx: bool = True
+    # Rebuild the dynamic kNN graph every Nth block, reusing the previous
+    # block's neighborhood otherwise.  1 = reference parity (every block,
+    # gcn_lib/dense/torch_vertex.py:68-70); higher values trade graph
+    # freshness for a near-linear cut in top-k cost (SURVEY hard-part #7).
+    graph_refresh_every: int = 1
 
 
 def knn_graph(x: jax.Array, k: int, approx: bool = False) -> jax.Array:
@@ -183,10 +188,16 @@ class DenseDeepGCN(nn.Module):
         idx0 = knn_graph(pos, cfg.kernel_size, approx=cfg.knn_approx)
         feats = [EdgeConv(cfg.n_filters, cfg.conv_type)(data, idx0)]
 
+        idx_cache = None
         for i in range(cfg.n_blocks - 1):
             dilation = 1 + i
             h = feats[-1]
-            idx_full = knn_graph(h, cfg.kernel_size * dilation, approx=cfg.knn_approx)
+            if idx_cache is None or i % cfg.graph_refresh_every == 0:
+                # size the graph for every block until the next refresh
+                last = min(i + cfg.graph_refresh_every - 1, cfg.n_blocks - 2)
+                k_window = cfg.kernel_size * (1 + last)
+                idx_cache = knn_graph(h, k_window, approx=cfg.knn_approx)
+            idx_full = idx_cache[:, : cfg.kernel_size * dilation]
             rng = (
                 self.make_rng("gcn")
                 if (train and cfg.stochastic and self.has_rng("gcn"))

@@ -305,3 +305,15 @@ def test_chrom_loss_white_lt_is_zero(rng):
     rays_lt2 = jnp.asarray(rng.uniform(0.1, 1.0, (1, 4, 4, 6, 3)).astype(np.float32))
     loss2, *_ = rays_lt_chrom_loss(rays_lt2, alpha)
     assert float(loss2) > 1e-4
+
+
+def test_gcn_graph_refresh_flag(rng):
+    # graph_refresh_every > 1 must keep shapes valid for every block
+    cfg = GCNConfig(n_filters=4, kernel_size=3, n_blocks=6, num_v=32,
+                    out_channels=8, stochastic=False, graph_refresh_every=3)
+    gcn = DenseDeepGCN(cfg)
+    pos = jnp.asarray(rng.standard_normal((32, 3)).astype(np.float32))
+    vars_ = gcn.init(KEY, pos)
+    out, _ = gcn.apply(vars_, pos, train=False, mutable=["spectral"])
+    assert out.shape == (1, 8)
+    assert bool(jnp.isfinite(out).all())
