@@ -186,9 +186,14 @@ class Unet(nn.Module):
         if v_fea is not None:
             v_fea = v_fea.astype(cdtype)
         nd = self.num_down
+        # channel schedule: doubles per level, capped at max_channels; the
+        # innermost level keeps its channel count (reference
+        # pytorch_prototyping.py:484-489 — inner_nc == outer_nc there)
         chs = [self.nf0] + [
-            min(2 ** (i + 1) * self.nf0, self.max_channels) for i in range(nd)
+            min(2 ** (i + 1) * self.nf0, self.max_channels)
+            for i in range(nd - 1)
         ]
+        chs.append(min(2 ** (nd - 1) * self.nf0, self.max_channels))
 
         # in layer (pytorch_prototyping.py:470-481)
         use_bias_in = self.norm == "none"

@@ -60,7 +60,9 @@ def _gather_face_attr(per_face: jax.Array, face_index_map: jax.Array):
 
 @partial(
     jax.jit,
-    static_argnames=("image_size", "face_chunk", "with_high_maps", "sh_lmax"),
+    static_argnames=(
+        "image_size", "face_chunk", "with_high_maps", "sh_lmax", "backend",
+    ),
 )
 def render_gbuffer(
     mesh: MeshBuffers,
@@ -75,6 +77,7 @@ def render_gbuffer(
     face_chunk: int = 128,
     with_high_maps: bool = True,
     sh_lmax: int = 2,
+    backend: str = "auto",
 ) -> dict[str, Any]:
     """Render the full per-view G-buffer in one XLA program.
 
@@ -110,9 +113,22 @@ def render_gbuffer(
         v_ndc, jnp.broadcast_to(mesh.faces[None], (n,) + mesh.faces.shape)
     )  # [N, F, 3, 3]
 
-    raster = rasterize_face_index(
-        faces_ndc, s, near=near, far=far, face_chunk=face_chunk
+    # "pallas" = tile-binned production kernel (TPU); "xla" = scan oracle;
+    # "auto" picks pallas on TPU-class backends.
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() not in ("cpu",)
     )
+    if use_pallas:
+        from rnr_tpu.ops.rasterize_pallas import rasterize_pallas
+
+        raster = rasterize_pallas(
+            faces_ndc, s, near=near, far=far,
+            tile_h=min(32, s), tile_w=min(128, s),
+        )
+    else:
+        raster = rasterize_face_index(
+            faces_ndc, s, near=near, far=far, face_chunk=face_chunk
+        )
     fim = raster.face_index_map
     depth = raster.depth_map
     alpha = raster.alpha_map
