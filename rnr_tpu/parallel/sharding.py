@@ -104,3 +104,23 @@ def make_sharded_rnr_train_step(
         return base_step(state, batch, statics, rng)
 
     return sharded_step
+
+
+def make_sharded_dnr_train_step(cfg, mods, tx, mesh: Mesh) -> Callable:
+    """DNR train step over the mesh — the TPU-native counterpart of the
+    reference's `nn.DataParallel` wrapping (train_dnr.py:174-177): batch
+    over dp, image rows over sp, params replicated."""
+    from rnr_tpu.train.steps import make_dnr_train_step
+
+    base_step = make_dnr_train_step(cfg, mods, tx)
+    rep = replicated(mesh)
+
+    def sharded_step(state, batch, rng):
+        state = jax.device_put(state, rep)
+        batch = {
+            k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+            for k, v in batch.items()
+        }
+        return base_step(state, batch, rng)
+
+    return sharded_step

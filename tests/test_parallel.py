@@ -71,3 +71,36 @@ def test_sharded_rnr_step_matches_single_device(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=float(cfg.train.lr)
         )
+
+
+def test_sharded_dnr_step(rng):
+    import jax.numpy as jnp
+    from rnr_tpu.config import (
+        DNRConfig, TextureConfig, RenderNetConfig, LossConfig, TrainConfig,
+    )
+    from rnr_tpu.train import create_dnr_state
+    from rnr_tpu.parallel import make_sharded_dnr_train_step
+
+    cfg = DNRConfig(
+        texture=TextureConfig(texture_size=32, texture_num_ch=12,
+                              mipmap_level=2),
+        render_net=RenderNetConfig(nf0=8, num_down_unet=3,
+                                   compute_dtype="float32"),
+        loss=LossConfig(border_crop=2),
+        train=TrainConfig(lr=2e-3, img_size=32),
+    )
+    batch = {
+        "uv_map": jnp.asarray(
+            rng.uniform(0, 1, (2, 32, 32, 2)).astype(np.float32)),
+        "sh_basis_map": jnp.asarray(
+            rng.uniform(-1, 1, (2, 32, 32, 9)).astype(np.float32)),
+        "alpha_map": jnp.ones((2, 32, 32, 1)),
+        "img_gt": jnp.asarray(
+            rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)),
+    }
+    mods, state, tx = create_dnr_state(cfg, KEY, batch, cfg.train.lr)
+    mesh = make_mesh(8, dp=2)
+    step = make_sharded_dnr_train_step(cfg, mods, tx, mesh)
+    new_state, metrics = step(state, batch, KEY)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
