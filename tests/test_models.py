@@ -317,3 +317,30 @@ def test_gcn_graph_refresh_flag(rng):
     out, _ = gcn.apply(vars_, pos, train=False, mutable=["spectral"])
     assert out.shape == (1, 8)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_sparse_edge_conv_matches_dense(rng):
+    from rnr_tpu.models.gcn import EdgeConv, knn_graph
+    from rnr_tpu.models.gcn_sparse import SparseEdgeConv, knn_edges
+
+    x = jnp.asarray(rng.standard_normal((20, 6)).astype(np.float32))
+    idx = knn_graph(x, 4)
+    edges = knn_edges(x, 4)
+    dense = EdgeConv(8)
+    vd = dense.init(KEY, x, idx)
+    out_d = dense.apply(vd, x, idx)
+    sparse = SparseEdgeConv(8)
+    # same Dense kernel weights
+    vs = {"params": {"Dense_0": vd["params"]["Dense_0"]}}
+    out_s = sparse.apply(vs, x, edges)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s), atol=1e-5)
+
+
+def test_sparse_res_dyn_block(rng):
+    from rnr_tpu.models.gcn_sparse import SparseResDynBlock
+
+    x = jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32))
+    blk = SparseResDynBlock(8, kernel_size=3)
+    v = blk.init(KEY, x)
+    y = blk.apply(v, x)
+    assert y.shape == x.shape and bool(jnp.isfinite(y).all())
