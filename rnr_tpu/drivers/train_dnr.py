@@ -206,18 +206,22 @@ def main(argv=None) -> None:
             key, sub = jax.random.split(key)
             batch = make_batch([train_views[j] for j in order[start:start + bs]])
             state, metrics = train_step(state, batch, sub)
-            loss = float(metrics["loss"])
-            history.append(loss)
-            if writer:
-                writer.add_scalar("loss_g", loss, it)
-                writer.add_scalar("final_mae_valid", float(metrics["mae_valid"]), it)
-                writer.add_scalar("final_psnr_valid", float(metrics["psnr_valid"]), it)
-            print(
-                f"Iter {it:07d} Epoch {epoch:03d} loss {loss:.4f} "
-                f"mae_valid {float(metrics['mae_valid']):.4f} "
-                f"psnr_valid {float(metrics['psnr_valid']):.4f} "
-                f"t {time.time() - t0:.3f}s"
-            )
+            # periodic host sync keeps the device pipeline full
+            if it % max(opt.log_freq // 10, 1) == 0 or (
+                opt.max_iter is not None and it == opt.max_iter - 1
+            ):
+                loss = float(metrics["loss"])
+                history.append(loss)
+                if writer:
+                    writer.add_scalar("loss_g", loss, it)
+                    writer.add_scalar("final_mae_valid", float(metrics["mae_valid"]), it)
+                    writer.add_scalar("final_psnr_valid", float(metrics["psnr_valid"]), it)
+                print(
+                    f"Iter {it:07d} Epoch {epoch:03d} loss {loss:.4f} "
+                    f"mae_valid {float(metrics['mae_valid']):.4f} "
+                    f"psnr_valid {float(metrics['psnr_valid']):.4f} "
+                    f"t {time.time() - t0:.3f}s"
+                )
 
             if it and it % opt.val_freq == 0:
                 _validate(eval_step, state, val_views, bs, log_dir, it,

@@ -474,27 +474,35 @@ def main(argv=None) -> None:
                 [train_views[j] for j in order[start:start + bs]], gcn_pos
             )
             state, metrics = train_step(state, batch, statics, sub)
-            loss = float(metrics["loss"])
-            history.append(loss)
-            if writer:
-                for k in ("loss", "loss_rn", "loss_lighting",
-                          "loss_rays_lt_chrom", "loss_alb"):
-                    writer.add_scalar(k, float(metrics[k]), it)
-                writer.add_scalar(
-                    "final_mae_valid", float(metrics["mae_valid"]), it
-                )
-                writer.add_scalar(
-                    "final_psnr_valid", float(metrics["psnr_valid"]), it
-                )
-            print(
-                f"Iter {it:07d} Epoch {epoch:03d} loss {loss:.4f} "
-                f"rn {float(metrics['loss_rn']):.4f} "
-                f"light {float(metrics['loss_lighting']):.4f} "
-                f"chrom {float(metrics['loss_rays_lt_chrom']):.4f} "
-                f"alb {float(metrics['loss_alb']):.4f} "
-                f"psnr {float(metrics['psnr_valid']):.4f} "
-                f"t {time.time() - t0:.3f}s"
+            # fetch metrics to host only at log boundaries so device steps
+            # pipeline back-to-back (the reference syncs every iteration,
+            # train_rnr.py:627-656)
+            sync_now = (
+                it % max(opt.log_freq // 10, 1) == 0
+                or (opt.max_iter is not None and it == opt.max_iter - 1)
             )
+            if sync_now:
+                loss = float(metrics["loss"])
+                history.append(loss)
+                if writer:
+                    for k in ("loss", "loss_rn", "loss_lighting",
+                              "loss_rays_lt_chrom", "loss_alb"):
+                        writer.add_scalar(k, float(metrics[k]), it)
+                    writer.add_scalar(
+                        "final_mae_valid", float(metrics["mae_valid"]), it
+                    )
+                    writer.add_scalar(
+                        "final_psnr_valid", float(metrics["psnr_valid"]), it
+                    )
+                print(
+                    f"Iter {it:07d} Epoch {epoch:03d} loss {loss:.4f} "
+                    f"rn {float(metrics['loss_rn']):.4f} "
+                    f"light {float(metrics['loss_lighting']):.4f} "
+                    f"chrom {float(metrics['loss_rays_lt_chrom']):.4f} "
+                    f"alb {float(metrics['loss_alb']):.4f} "
+                    f"psnr {float(metrics['psnr_valid']):.4f} "
+                    f"t {time.time() - t0:.3f}s"
+                )
 
             if it and it % opt.val_freq == 0:
                 _validate(

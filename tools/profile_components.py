@@ -44,11 +44,13 @@ def main():
     ap.add_argument("--gcn_v", type=int, default=7500)
     args = ap.parse_args()
 
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
     import jax
     import jax.numpy as jnp
-
-    import sys
-    sys.path.insert(0, ".")
     from __graft_entry__ import _build
     from rnr_tpu.train import create_rnr_state, make_rnr_train_step
     from rnr_tpu.train.steps import rnr_texture_flatten_init

@@ -6,9 +6,14 @@ Usage: python tools/profile_gcn.py [--v 7500] [--blocks 20]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
 def bench(fn, *args, steps=5):

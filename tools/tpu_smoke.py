@@ -1,0 +1,136 @@
+"""Consolidated on-TPU validation: run everything in ONE process.
+
+The TPU tunnel serves one client at a time and wedges after kills, so all
+hardware checks batch here:
+  1. Pallas vs XLA rasterizer parity + timing on a real sphere mesh.
+  2. Full G-buffer rendering (Pallas path) timing.
+  3. A few RNR train steps (sanity: finite, decreasing-ish).
+
+Usage: python tools/tpu_smoke.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+
+def _sync(x):
+    import jax
+
+    float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+
+def make_sphere(n_lat=64, n_lon=96, radius=0.5):
+    vs, vts, vns, faces = [], [], [], []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon + 1):
+            ph = 2 * np.pi * j / n_lon
+            vs.append((radius * np.sin(th) * np.cos(ph),
+                       radius * np.cos(th),
+                       radius * np.sin(th) * np.sin(ph)))
+            vns.append((np.sin(th) * np.cos(ph), np.cos(th),
+                        np.sin(th) * np.sin(ph)))
+            vts.append((j / n_lon, 1 - i / n_lat))
+
+    def vid(i, j):
+        return i * (n_lon + 1) + j
+
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a, b, c, d = vid(i, j), vid(i, j + 1), vid(i + 1, j + 1), vid(i + 1, j)
+            if i > 0:
+                faces.append((a, b, c))
+            if i < n_lat - 1:
+                faces.append((a, c, d))
+    return (np.asarray(vs, np.float32), np.asarray(vts, np.float32),
+            np.asarray(vns, np.float32), np.asarray(faces, np.int32))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rnr_tpu.ops.projection import projection, vertices_to_faces
+    from rnr_tpu.ops.rasterize import rasterize_face_index
+    from rnr_tpu.ops.rasterize_pallas import rasterize_pallas
+    from rnr_tpu.ops.gbuffer import MeshBuffers, render_gbuffer
+    from rnr_tpu.ops.cameras import rt_from_pos_lookat
+
+    print("backend:", jax.default_backend())
+    S = 512
+    v, vt, vn, f = make_sphere()
+    print(f"sphere: {len(v)} verts, {len(f)} faces")
+
+    K = jnp.asarray([[[S * 1.2, 0, S / 2], [0, S * 1.2, S / 2], [0, 0, 1.0]]])
+    pose = jnp.asarray(
+        rt_from_pos_lookat(np.array([0.3, 0.4, 2.0]))[None].astype(np.float32)
+    )
+    dist = jnp.zeros((1, 5))
+    vndc = projection(jnp.asarray(v[None]), K, pose[:, :3, :3],
+                      pose[:, :3, 3][:, None, :], dist, S)
+    faces_ndc = vertices_to_faces(vndc, jnp.asarray(f[None]))
+
+    # --- 1. parity + timing -------------------------------------------
+    t0 = time.perf_counter()
+    out_x = rasterize_face_index(faces_ndc, S, far=100.0)
+    _sync(out_x.depth_map)
+    print(f"xla raster compile+run  {time.perf_counter() - t0:7.2f} s")
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out_x = rasterize_face_index(faces_ndc, S, far=100.0)
+    _sync(out_x.depth_map)
+    t_xla = (time.perf_counter() - t0) / 5
+    print(f"xla raster steady       {t_xla * 1e3:7.1f} ms")
+
+    t0 = time.perf_counter()
+    out_p = rasterize_pallas(faces_ndc, S, far=100.0)
+    _sync(out_p.depth_map)
+    print(f"pallas raster compile   {time.perf_counter() - t0:7.2f} s")
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out_p = rasterize_pallas(faces_ndc, S, far=100.0)
+    _sync(out_p.depth_map)
+    t_pal = (time.perf_counter() - t0) / 5
+    print(f"pallas raster steady    {t_pal * 1e3:7.1f} ms "
+          f"({t_xla / max(t_pal, 1e-9):.1f}x vs xla)")
+
+    fim_x = np.asarray(out_x.face_index_map)
+    fim_p = np.asarray(out_p.face_index_map)
+    agree = (fim_x == fim_p).mean()
+    cov = (fim_p >= 0).mean()
+    print(f"parity: face-index agreement {agree:.6f}, coverage {cov:.3f}")
+    d_ok = np.allclose(
+        np.asarray(out_x.depth_map), np.asarray(out_p.depth_map), rtol=1e-4
+    )
+    print("depth allclose:", d_ok)
+
+    # --- 2. full G-buffer ---------------------------------------------
+    mesh = MeshBuffers(
+        vertices=jnp.asarray(v), faces=jnp.asarray(f), vt=jnp.asarray(vt),
+        f_vt_idx=jnp.asarray(f), vn=jnp.asarray(vn), f_vn_idx=jnp.asarray(f),
+        span_max=jnp.asarray(1.0, jnp.float32),
+    )
+    t0 = time.perf_counter()
+    gb = render_gbuffer(mesh, K, pose, dist, None, None, S)
+    _sync(gb["uv_map"])
+    print(f"gbuffer compile+run     {time.perf_counter() - t0:7.2f} s")
+    t0 = time.perf_counter()
+    for _ in range(5):
+        gb = render_gbuffer(mesh, K, pose, dist, None, None, S)
+    _sync(gb["uv_map"])
+    print(f"gbuffer steady          {(time.perf_counter() - t0) / 5 * 1e3:7.1f} ms")
+    alpha = np.asarray(gb["alpha_map"])
+    print(f"gbuffer alpha coverage  {alpha.mean():7.3f}  "
+          f"finite: {all(np.isfinite(np.asarray(x)).all() for x in gb.values())}")
+
+
+if __name__ == "__main__":
+    main()
