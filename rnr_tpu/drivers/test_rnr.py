@@ -116,6 +116,18 @@ def main(argv=None) -> None:
 
     eval_step = make_rnr_eval_step(model)
 
+    # the GCN feature is view-independent: compute once for the sequence
+    v_feature = None
+    if cfg.use_gcn:
+        variables = {
+            "params": state.params, "constants": state.constants,
+            "spectral": state.spectral,
+        }
+        v_feature = model.apply(
+            variables, jnp.asarray(gcn_pos),
+            method=lambda m, p_: m.compute_v_feature(p_),
+        )
+
     # lightings to render under
     lps = []
     if opt.lp_dir is not None and os.path.isdir(opt.lp_dir):
@@ -165,7 +177,8 @@ def main(argv=None) -> None:
 
         t0 = time.time()
         for name, lp in lps:
-            out = eval_step(state, batch, lp_override=lp, relight=True)
+            out = eval_step(state, batch, lp_override=lp, relight=True,
+                            v_feature=v_feature)
             img = np.asarray(out["img"][0])
             alpha = np.asarray(gb["alpha_map"][0])[..., None]
             img = img * alpha

@@ -466,7 +466,7 @@ def main(argv=None) -> None:
         order = order_rng.permutation(len(train_views))
         for start in range(0, len(order) - bs + 1, bs):
             if opt.max_iter is not None and it >= opt.max_iter:
-                _final(log_dir, state, history)
+                _final(log_dir, state, history, it)
                 return
             t0 = time.time()
             key, sub = jax.random.split(key)
@@ -514,7 +514,7 @@ def main(argv=None) -> None:
                 save_checkpoint(
                     os.path.join(log_dir, f"model_iter-{it}.ckpt"), state
                 )
-    _final(log_dir, state, history)
+    _final(log_dir, state, history, it)
 
 
 def _validate(eval_step, state, val_views, relight_views, gcn_pos, bs,
@@ -575,14 +575,14 @@ def _validate(eval_step, state, val_views, relight_views, gcn_pos, bs,
             writer.add_scalar("final_relight_psnr_valid_val", psnr, it)
 
 
-def _final(log_dir, state, history):
+def _final(log_dir, state, history, total_iters=None):
     from rnr_tpu.train import save_checkpoint
 
     save_checkpoint(os.path.join(log_dir, "model_final.ckpt"), state)
     summary = {
         "first_loss": history[0] if history else None,
         "last_loss": history[-1] if history else None,
-        "iters": len(history),
+        "iters": total_iters if total_iters is not None else len(history),
     }
     with open(os.path.join(log_dir, "summary.json"), "w") as f:
         json.dump(summary, f)

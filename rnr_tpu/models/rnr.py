@@ -111,6 +111,7 @@ class RNRModel(nn.Module):
         lighting_idx: int = 0,
         lp_override: jax.Array | None = None,
         train: bool = True,
+        v_feature_override: jax.Array | None = None,
     ) -> dict[str, Any]:
         """Full forward pass.
 
@@ -130,7 +131,13 @@ class RNRModel(nn.Module):
 
         v_feature = None
         if c.use_gcn:
-            v_feature = self.gcn(batch["gcn_pos"], train=train)  # [1, 512]
+            if v_feature_override is not None:
+                # view-independent: inference reuses one precomputed
+                # v_feature for every frame, like the reference restores it
+                # from the checkpoint (test_rnr.py:168-182)
+                v_feature = v_feature_override
+            else:
+                v_feature = self.gcn(batch["gcn_pos"], train=train)  # [1, 512]
             v_feature = jnp.broadcast_to(
                 v_feature, (n, v_feature.shape[-1])
             )
@@ -197,6 +204,12 @@ class RNRModel(nn.Module):
         }
 
     # Exposed for losses/diagnostics -------------------------------------
+
+    def compute_v_feature(self, gcn_pos: jax.Array) -> jax.Array:
+        """Run just the GCN (for caching across inference frames)."""
+        if not self.cfg.use_gcn:
+            raise ValueError("use_gcn is off")
+        return self.gcn(gcn_pos, train=False)
 
     def lighting_samples(self, lighting_idx) -> jax.Array:
         """Reconstructed light samples at the sphere directions [S, C]."""

@@ -96,30 +96,34 @@ def _bin_faces(
     )  # [F, 18]
     face_data = flat[safe]  # [T, K, 18]
     face_ids = jnp.where(valid, tile_faces, -1)
-    return face_data, face_ids
+    counts = jnp.sum(valid.astype(jnp.int32), axis=1)  # [T]
+    return face_data, face_ids, counts
 
 
 def _raster_kernel(s, tile_h, tile_w, near, far):
-    def kernel(data_ref, ids_ref, depth_ref, idx_ref):
+    def kernel(count_ref, data_ref, ids_ref, depth_ref, idx_ref):
         ty = pl.program_id(0)
         tx = pl.program_id(1)
+        # integer iota (Mosaic requires int iota), then cast
         yi = (
             ty * tile_h
-            + jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
-        )
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        ).astype(jnp.float32)
         xi = (
             tx * tile_w
-            + jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
-        )
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        ).astype(jnp.float32)
         yp = (2.0 * yi + 1.0 - s) / s
         xp = (2.0 * xi + 1.0 - s) / s
 
-        k = data_ref.shape[2]
+        # dynamic trip count: only walk the tile's real candidates, not
+        # the static padding
+        k = count_ref[0, 0, 0, 0]
 
         def body(i, carry):
             depth, idx = carry
             d = data_ref[0, 0, pl.ds(i, 1), :][0]
-            fid = ids_ref[0, 0, pl.ds(i, 1)][0]
+            fid = ids_ref[0, 0, pl.ds(i, 1), 0][0]
             x0, y0, z0 = d[0], d[1], d[2]
             x1, y1, z1 = d[3], d[4], d[5]
             x2, y2, z2 = d[6], d[7], d[8]
@@ -189,23 +193,31 @@ def rasterize_pallas(
     kernel = _raster_kernel(s, tile_h, tile_w, near, far)
 
     def raster_one(faces_b):
-        face_data, face_ids = _bin_faces(
+        face_data, face_ids, counts = _bin_faces(
             faces_b, s, tile_h, tile_w, max_faces_per_tile
         )
         face_data = face_data.reshape(n_ty, n_tx, -1, 18)
-        face_ids = face_ids.reshape(n_ty, n_tx, -1)
+        # ids carry a trailing singleton so the block's last two dims equal
+        # the array dims (Mosaic block-shape constraint)
+        face_ids = face_ids.reshape(n_ty, n_tx, -1, 1)
+        counts = counts.reshape(n_ty, n_tx, 1, 1)
         depth, idx = pl.pallas_call(
             kernel,
             grid=(n_ty, n_tx),
             in_specs=[
+                pl.BlockSpec(
+                    (1, 1, 1, 1),
+                    lambda ty, tx: (ty, tx, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
                 pl.BlockSpec(
                     (1, 1, max_faces_per_tile, 18),
                     lambda ty, tx: (ty, tx, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 1, max_faces_per_tile),
-                    lambda ty, tx: (ty, tx, 0),
+                    (1, 1, max_faces_per_tile, 1),
+                    lambda ty, tx: (ty, tx, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -226,7 +238,7 @@ def rasterize_pallas(
                 jax.ShapeDtypeStruct((s, s), jnp.int32),
             ],
             interpret=interpret,
-        )(face_data, face_ids)
+        )(counts, face_data, face_ids)
         return depth, idx
 
     depth, idx = jax.vmap(raster_one)(faces)

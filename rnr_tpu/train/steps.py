@@ -191,7 +191,8 @@ def make_rnr_eval_step(model: RNRModel, lighting_idx: int = 0) -> Callable:
     """Jitted inference step; optional lp_override enables relighting."""
 
     @partial(jax.jit, static_argnames=("relight",))
-    def step(state: TrainState, batch, lp_override=None, relight: bool = False):
+    def step(state: TrainState, batch, lp_override=None, relight: bool = False,
+             v_feature=None):
         variables = {
             "params": state.params,
             "constants": state.constants,
@@ -204,6 +205,7 @@ def make_rnr_eval_step(model: RNRModel, lighting_idx: int = 0) -> Callable:
             lp_override=lp_override if relight else None,
             train=False,
             mutable=["spectral"],
+            v_feature_override=v_feature,
         )
         return out
 

@@ -12,9 +12,10 @@ from test_rasterize import _random_faces
 def test_bin_faces_coverage(rng):
     s = 64
     faces = _random_faces(rng, 10).astype(np.float32)
-    data, ids = _bin_faces(jnp.asarray(faces), s, 32, 32, 16)
+    data, ids, counts = _bin_faces(jnp.asarray(faces), s, 32, 32, 16)
     ids = np.asarray(ids)  # [T, K]
     assert ids.shape == (4, 16)
+    np.testing.assert_array_equal(np.asarray(counts), (ids >= 0).sum(1))
     # every front face lands in at least one tile
     assert set(range(10)) <= set(ids[ids >= 0].tolist())
     # face data rows carry the face's coordinates
