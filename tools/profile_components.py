@@ -121,6 +121,27 @@ def main():
     t = timeit(rr_fn, alb, rays_uv, rays_lt, lp, steps=args.steps)
     print(f"ray_render(13 rays)    {t * 1e3:9.1f} ms")
 
+    # --- backward passes of the differentiable hot ops ---
+    tex_grad = jax.jit(
+        jax.grad(
+            lambda p, uv, shb: jnp.sum(
+                tm.apply({"params": p}, uv, shb, sh_start_ch=6) ** 2
+            )
+        )
+    )
+    t = timeit(tex_grad, state.params["texture_mapper"], batch["uv_map"],
+               batch["sh_basis_map"], steps=args.steps)
+    print(f"texture_backward       {t * 1e3:9.1f} ms")
+
+    rr_grad = jax.jit(
+        jax.grad(
+            lambda a, uv, lt, l: jnp.sum(ray_render(a, uv, lt, l)["out"] ** 2),
+            argnums=(0, 2, 3),
+        )
+    )
+    t = timeit(rr_grad, alb, rays_uv, rays_lt, lp, steps=args.steps)
+    print(f"ray_render_backward    {t * 1e3:9.1f} ms")
+
     # --- full forward / train step ---
     fwd = jax.jit(
         lambda v, b: model.apply(v, b, lighting_idx=0, train=False,
