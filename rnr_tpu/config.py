@@ -44,6 +44,13 @@ class RaysConfig:
     interval_polar_specular: float = 5.0
     interval_polar_diffuse: float = 10.0
     lt_max_val: float = 2.0
+    # Shade rays directly from SH coefficients (basis(dir) . coeff) when
+    # rendering under the learned SH lighting, instead of bilinear-sampling
+    # a reconstructed 256x512 probe.  Mathematically exact (no equirect
+    # discretization) and turns the probe-gradient scatter (285 ms/step on
+    # v5e) into a matmul.  Explicit-probe relighting always uses the
+    # sampling path.
+    direct_sh_shading: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -222,3 +222,93 @@ def rays_lt_chrom_loss(
         / rays_lt.shape[-2]
     )
     return loss, chrom, chrom_mean, diff
+
+
+def ray_render_sh(
+    albedo_specular: jax.Array,
+    rays_dir: jax.Array,
+    alpha_map: jax.Array,
+    rays_lt: jax.Array,
+    sh_coeff: jax.Array,
+    sh_lmax: int,
+    num_ray_diffuse: int = 0,
+    albedo_diffuse: jax.Array | None = None,
+    no_albedo: bool = False,
+    separate_albedo: bool = False,
+    lp_scale_factor: float = 1.0,
+):
+    """SH-direct ray composition: shade rays straight from SH coefficients.
+
+    TPU-native replacement for the probe-sampling path when the lighting is
+    the SH model: instead of reconstructing a 256x512 equirect probe and
+    bilinear-gathering it per ray (whose backward is a multi-hundred-
+    million-update scatter into a tiny array -- pathological on TPU), the
+    radiance of each ray is evaluated as basis(dir) . coeff.  The gradient
+    w.r.t. the lighting coefficients becomes a plain matmul (basis^T g),
+    and the result is *more* exact than the reference's probe path (no
+    equirect discretization).  Rays are processed in chunks via lax.map so
+    the [P, R, (lmax+1)^2] basis tensor never materializes.
+
+    Args:
+      albedo_specular: [N, H, W, C].
+      rays_dir: [N, H, W, 3, R] world-space unit rays.
+      alpha_map: [N, H, W, 1].
+      rays_lt: [N, H, W, R, C].
+      sh_coeff: [B, C] coefficients of the active lighting.
+      sh_lmax: SH degree (static).
+
+    Returns the same dict as `ray_render` (lp is the coeff here).
+    """
+    from rnr_tpu.ops.sh import evaluate_sh_basis
+
+    r_total = rays_dir.shape[-1]
+    r_spec = r_total - num_ray_diffuse
+    coeff = sh_coeff * lp_scale_factor
+
+    def shade_one(r):
+        d = jnp.moveaxis(rays_dir[..., r], 0, 0)          # [N, H, W, 3]
+        basis = evaluate_sh_basis(sh_lmax, d)             # [N, H, W, B]
+        return jnp.einsum("nhwb,bc->nhwc", basis, coeff)
+
+    # lax.map over the (static, small) ray axis keeps peak memory at one
+    # [N, H, W, B] block.
+    rays_color = jax.lax.map(
+        shade_one, jnp.arange(r_total)
+    )                                                     # [R, N, H, W, C]
+    rays_color = jnp.moveaxis(rays_color, 0, -2)          # [N, H, W, R, C]
+    rays_color = rays_color * alpha_map[..., None, :]
+
+    ltt_specular = (
+        jnp.sum(rays_lt[..., :r_spec, :] * rays_color[..., :r_spec, :], axis=-2)
+        / r_spec
+    )
+    out_specular = ltt_specular if no_albedo else albedo_specular * ltt_specular
+
+    if num_ray_diffuse > 0:
+        ltt_diffuse = (
+            jnp.sum(
+                rays_lt[..., r_spec:, :] * rays_color[..., r_spec:, :], axis=-2
+            )
+            / num_ray_diffuse
+        )
+        if no_albedo:
+            out_diffuse = ltt_diffuse
+        elif separate_albedo:
+            if albedo_diffuse is None:
+                raise ValueError("separate_albedo requires albedo_diffuse")
+            out_diffuse = albedo_diffuse * ltt_diffuse
+        else:
+            out_diffuse = albedo_specular * ltt_diffuse
+    else:
+        ltt_diffuse = jnp.zeros_like(ltt_specular)
+        out_diffuse = jnp.zeros_like(out_specular)
+
+    return {
+        "out": out_specular + out_diffuse,
+        "out_specular": out_specular,
+        "out_diffuse": out_diffuse,
+        "ltt_specular_map": ltt_specular,
+        "ltt_diffuse_map": ltt_diffuse,
+        "rays_color": rays_color,
+        "lp": coeff,
+    }

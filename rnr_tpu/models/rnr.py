@@ -29,7 +29,7 @@ from rnr_tpu.models.texture import TextureMapper
 from rnr_tpu.models.unet import RenderingNet
 from rnr_tpu.models.gcn import DenseDeepGCN, GCNConfig
 from rnr_tpu.models.lighting import LightingSH
-from rnr_tpu.models.rays import RaySampler, ray_render
+from rnr_tpu.models.rays import RaySampler, ray_render, ray_render_sh
 
 
 class RNRModel(nn.Module):
@@ -174,19 +174,32 @@ class RNRModel(nn.Module):
         rays_lt = lt.reshape(n, h, w, r_total, 3)
         rays_lt = (rays_lt * 0.5 + 0.5) * c.rays.lt_max_val
 
-        if lp_override is None:
-            lp = self.lighting(lighting_idx, is_lp=True)
+        if lp_override is None and c.rays.direct_sh_shading:
+            rendered = ray_render_sh(
+                albedo_specular,
+                rays_dir,
+                batch["alpha_map"],
+                rays_lt,
+                self.lighting.get_lighting_params(lighting_idx),
+                c.lighting.sh_lmax,
+                num_ray_diffuse=self.ray_sampler_diffuse.num_ray,
+                albedo_diffuse=albedo_diffuse,
+                separate_albedo=True,
+            )
         else:
-            lp = lp_override
-        rendered = ray_render(
-            albedo_specular,
-            rays_uv,
-            rays_lt,
-            lp,
-            num_ray_diffuse=self.ray_sampler_diffuse.num_ray,
-            albedo_diffuse=albedo_diffuse,
-            separate_albedo=True,
-        )
+            if lp_override is None:
+                lp = self.lighting(lighting_idx, is_lp=True)
+            else:
+                lp = lp_override
+            rendered = ray_render(
+                albedo_specular,
+                rays_uv,
+                rays_lt,
+                lp,
+                num_ray_diffuse=self.ray_sampler_diffuse.num_ray,
+                albedo_diffuse=albedo_diffuse,
+                separate_albedo=True,
+            )
 
         return {
             "img": rendered["out"],

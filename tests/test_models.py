@@ -344,3 +344,37 @@ def test_sparse_res_dyn_block(rng):
     v = blk.init(KEY, x)
     y = blk.apply(v, x)
     assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+
+
+def test_ray_render_sh_matches_probe_path(rng):
+    """Direct SH shading must agree with sampling a finely reconstructed
+    probe of the same coefficients (up to probe discretization)."""
+    from rnr_tpu.models.rays import ray_render, ray_render_sh
+    from rnr_tpu.models.rays import RaySampler
+    from rnr_tpu.ops.sh import evaluate_sh_basis, reconstruct_sh
+    from rnr_tpu.models.lighting import _recon_grid_dirs
+
+    lmax = 2
+    coeff = jnp.asarray(rng.standard_normal((9, 3)).astype(np.float32) * 0.3)
+    # reconstruct a fine probe from the same coeff
+    h, w = 256, 512
+    dirs = _recon_grid_dirs(h, w)
+    basis = evaluate_sh_basis(lmax, dirs)
+    lp = reconstruct_sh(coeff, basis).reshape(1, h, w, 3)
+
+    rs = RaySampler(num_azi=4, num_polar=1)
+    n, s = 1, 8
+    tbn = jnp.broadcast_to(jnp.eye(3), (n, s, s, 3, 3))
+    vd = rng.standard_normal((n, s, s, 3)).astype(np.float32)
+    vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
+    alpha = jnp.ones((n, s, s, 1))
+    rays_dir, rays_uv, _ = rs(tbn, jnp.asarray(vd), alpha)
+    rays_lt = jnp.asarray(rng.uniform(0.5, 1.5, (n, s, s, rs.num_ray, 3)).astype(np.float32))
+    alb = jnp.full((n, s, s, 3), 0.5)
+
+    out_probe = ray_render(alb, rays_uv, rays_lt, lp)
+    out_sh = ray_render_sh(alb, rays_dir, alpha, rays_lt, coeff, lmax)
+    np.testing.assert_allclose(
+        np.asarray(out_sh["out"]), np.asarray(out_probe["out"]),
+        atol=0.03, rtol=0.05,
+    )
