@@ -65,6 +65,7 @@ class GCNTrainConfig:
     stochastic: bool = True
     out_channels: int = 512
     knn_approx: bool = True
+    knn_recall: float = 0.9
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,6 +40,12 @@ class GCNConfig:
     num_v: int = 7500
     out_channels: int = 512
     knn_approx: bool = True
+    # ApproxTopK recall target: the dominant GCN cost knob (v5e, V=7500:
+    # 0.95 -> 335 ms, 0.9 -> 144 ms, 0.8 -> 63 ms per forward).  The graph
+    # is already a stochastic neighborhood prior (epsilon-dilation
+    # sampling), so 0.9 is the default; knn_approx=False gives the exact
+    # reference graph.
+    knn_recall: float = 0.9
     # Rebuild the dynamic kNN graph every Nth block, reusing the previous
     # block's neighborhood otherwise.  1 = reference parity (every block,
     # gcn_lib/dense/torch_vertex.py:68-70); higher values trade graph
@@ -47,7 +53,8 @@ class GCNConfig:
     graph_refresh_every: int = 1
 
 
-def knn_graph(x: jax.Array, k: int, approx: bool = False) -> jax.Array:
+def knn_graph(x: jax.Array, k: int, approx: bool = False,
+              recall: float = 0.95) -> jax.Array:
     """Indices of the k nearest neighbors (including self) per vertex.
 
     x: [V, C] -> [V, k] int32.  Matches `dense_knn_matrix`
@@ -63,15 +70,17 @@ def knn_graph(x: jax.Array, k: int, approx: bool = False) -> jax.Array:
     # explicit so no distance-matrix residuals are kept for backward
     x = jax.lax.stop_gradient(x)
     if approx:
-        # bf16 inner products: the MXU-native precision is plenty for
-        # *ranking* neighbors that are then stochastically subsampled.
+        # bf16 end to end: the [V, V] distance matrix is the dominant HBM
+        # traffic of the whole GCN (19 rebuilds/step); bf16 halves it, and
+        # MXU-native ranking precision is plenty for neighbors that are
+        # then stochastically subsampled anyway.
         xb = x.astype(jnp.bfloat16)
-        sq = jnp.sum(xb * xb, axis=-1, keepdims=True).astype(jnp.float32)
+        sq = jnp.sum(xb * xb, axis=-1, keepdims=True)
         inner = jax.lax.dot(
-            xb, xb.T, preferred_element_type=jnp.float32
+            xb, xb.T, preferred_element_type=jnp.bfloat16
         )
         dist = sq + sq.T - 2.0 * inner
-        _, idx = jax.lax.approx_max_k(-dist, k, recall_target=0.95)
+        _, idx = jax.lax.approx_max_k(-dist, k, recall_target=recall)
     else:
         sq = jnp.sum(x * x, axis=-1, keepdims=True)       # [V, 1]
         dist = sq + sq.T - 2.0 * jax.lax.dot(
@@ -185,7 +194,8 @@ class DenseDeepGCN(nn.Module):
         data = jnp.concatenate([pos, x], axis=-1)  # [V, in_channels]
 
         # head: static graph from positions
-        idx0 = knn_graph(pos, cfg.kernel_size, approx=cfg.knn_approx)
+        idx0 = knn_graph(pos, cfg.kernel_size, approx=cfg.knn_approx,
+                         recall=cfg.knn_recall)
         feats = [EdgeConv(cfg.n_filters, cfg.conv_type)(data, idx0)]
 
         idx_cache = None
@@ -196,7 +206,8 @@ class DenseDeepGCN(nn.Module):
                 # size the graph for every block until the next refresh
                 last = min(i + cfg.graph_refresh_every - 1, cfg.n_blocks - 2)
                 k_window = cfg.kernel_size * (1 + last)
-                idx_cache = knn_graph(h, k_window, approx=cfg.knn_approx)
+                idx_cache = knn_graph(h, k_window, approx=cfg.knn_approx,
+                                      recall=cfg.knn_recall)
             idx_full = idx_cache[:, : cfg.kernel_size * dilation]
             rng = (
                 self.make_rng("gcn")

@@ -80,6 +80,7 @@ class RNRModel(nn.Module):
                     epsilon=c.gcn.epsilon,
                     out_channels=c.gcn.out_channels,
                     knn_approx=c.gcn.knn_approx,
+                    knn_recall=c.gcn.knn_recall,
                 )
             )
         self.lighting = LightingSH(

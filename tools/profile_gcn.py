@@ -96,6 +96,17 @@ def main():
     )
     print(f"gcn_forward            {bench(f, vars_, pos):9.1f} ms")
 
+    # recall variants
+    for rc in (0.9, 0.8):
+        gcnr = DenseDeepGCN(GCNConfig(n_blocks=B, kernel_size=K, n_filters=C,
+                                      out_channels=512, knn_recall=rc))
+        vr = gcnr.init(key, pos)
+        fr = jax.jit(
+            lambda v, p, g=gcnr: g.apply(v, p, train=False,
+                                         mutable=["spectral"])[0]
+        )
+        print(f"gcn_forward recall={rc} {bench(fr, vr, pos):9.1f} ms")
+
     # graph_refresh_every=4 variant
     gcn4 = DenseDeepGCN(GCNConfig(n_blocks=B, kernel_size=K, n_filters=C,
                                   out_channels=512, graph_refresh_every=4))
