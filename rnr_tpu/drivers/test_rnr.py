@@ -50,6 +50,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--force_visible", default=False,
                    type=lambda x: str(x).lower() in ["true", "1"])
+    p.add_argument("--mesh_devices", type=int, default=None,
+                   help="tile-shard each frame over the first N devices")
+    p.add_argument("--mesh_dp", type=int, default=1)
     return p
 
 
@@ -115,6 +118,12 @@ def main(argv=None) -> None:
     print(f"restored checkpoint ({time.time() - t0:.1f}s)")
 
     eval_step = make_rnr_eval_step(model)
+    if opt.mesh_devices:
+        from rnr_tpu.parallel import make_mesh, make_sharded_rnr_eval_step
+
+        mesh = make_mesh(opt.mesh_devices, dp=opt.mesh_dp)
+        eval_step = make_sharded_rnr_eval_step(model, mesh)
+        print("tile-sharded inference over mesh", mesh.devices.shape)
 
     # the GCN feature is view-independent: compute once for the sequence
     v_feature = None

@@ -7,4 +7,5 @@ from rnr_tpu.parallel.sharding import (
     shard_rnr_batch,
     make_sharded_rnr_train_step,
     make_sharded_dnr_train_step,
+    make_sharded_rnr_eval_step,
 )

@@ -124,3 +124,28 @@ def make_sharded_dnr_train_step(cfg, mods, tx, mesh: Mesh) -> Callable:
         return base_step(state, batch, rng)
 
     return sharded_step
+
+
+def make_sharded_rnr_eval_step(model, mesh: Mesh, lighting_idx: int = 0
+                               ) -> Callable:
+    """Tile-sharded RNR inference over the mesh (BASELINE config 5:
+    multi-host tile-sharded rendering of test sequences).  Image rows
+    shard over sp, views over dp; the U-Net convolutions get their halo
+    exchanges from the SPMD partitioner."""
+    from rnr_tpu.train.steps import make_rnr_eval_step
+
+    base = make_rnr_eval_step(model, lighting_idx)
+    rep = replicated(mesh)
+
+    def sharded_eval(state, batch, lp_override=None, relight=False,
+                     v_feature=None):
+        state = jax.device_put(state, rep)
+        batch = shard_rnr_batch(batch, mesh)
+        if lp_override is not None:
+            lp_override = jax.device_put(lp_override, rep)
+        if v_feature is not None:
+            v_feature = jax.device_put(v_feature, rep)
+        return base(state, batch, lp_override=lp_override, relight=relight,
+                    v_feature=v_feature)
+
+    return sharded_eval

@@ -104,3 +104,27 @@ def test_sharded_dnr_step(rng):
     new_state, metrics = step(state, batch, KEY)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_sharded_rnr_eval_matches_single(rng):
+    from rnr_tpu.parallel import make_sharded_rnr_eval_step
+    from rnr_tpu.train.steps import make_rnr_eval_step
+
+    cfg = _tiny_rnr_cfg()
+    model = RNRModel(cfg=cfg, l_dir=_fib_sphere(64))
+    batch = _rnr_batch(rng, s=32)
+    state, _ = create_rnr_state(model, KEY, batch, cfg.train.lr)
+
+    single = make_rnr_eval_step(model)
+    out1 = single(state, batch)
+
+    mesh = make_mesh(8, dp=1)
+    sharded = make_sharded_rnr_eval_step(model, mesh)
+    out2 = sharded(state, batch)
+    np.testing.assert_allclose(
+        np.asarray(out1["img"]), np.asarray(out2["img"]), atol=1e-4
+    )
+    # relight path with an explicit probe, sharded
+    lp = jnp.full((1, 8, 16, 3), 0.7)
+    out3 = sharded(state, batch, lp_override=lp, relight=True)
+    assert np.isfinite(np.asarray(out3["img"])).all()
