@@ -281,6 +281,12 @@ def main(argv=None) -> None:
         lp_stitch_dir = os.path.join(
             opt.data_root, f"light_probe_stitch_{opt.sampling_pattern}"
         )
+        if not os.path.isdir(lp_stitch_dir):
+            raise FileNotFoundError(
+                f"stitched light probe dir {lp_stitch_dir} not found -- run "
+                f"drivers.stitch_lp with --sampling_pattern "
+                f"{opt.sampling_pattern} first (see scripts/preproc.sh)"
+            )
         exr = os.path.join(lp_stitch_dir, f"{lighting_idx}.exr")
         hdr = os.path.join(lp_stitch_dir, f"{lighting_idx}.hdr")
         png = os.path.join(lp_stitch_dir, f"{lighting_idx}.png")
