@@ -35,7 +35,7 @@ def main() -> None:
             "jax_compilation_cache_dir",
             os.environ["JAX_COMPILATION_CACHE_DIR"],
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     except Exception:
         pass
 
