@@ -465,20 +465,27 @@ def main(argv=None) -> None:
     except Exception:
         writer = None
 
+    from rnr_tpu.data.prefetch import prefetch
+
     order_rng = np.random.default_rng(opt.seed)
     it = opt.start_epoch * len(train_views)
     history = []
     for epoch in range(opt.start_epoch, opt.max_epoch):
         order = order_rng.permutation(len(train_views))
-        for start in range(0, len(order) - bs + 1, bs):
+
+        def epoch_batches(order=order):
+            for start in range(0, len(order) - bs + 1, bs):
+                yield make_rnr_batch(
+                    [train_views[j] for j in order[start:start + bs]], gcn_pos
+                )
+
+        # host-side batch assembly overlaps device execution
+        for batch in prefetch(epoch_batches(), depth=2):
             if opt.max_iter is not None and it >= opt.max_iter:
                 _final(log_dir, state, history, it)
                 return
             t0 = time.time()
             key, sub = jax.random.split(key)
-            batch = make_rnr_batch(
-                [train_views[j] for j in order[start:start + bs]], gcn_pos
-            )
             state, metrics = train_step(state, batch, statics, sub)
             # fetch metrics to host only at log boundaries so device steps
             # pipeline back-to-back (the reference syncs every iteration,
