@@ -124,6 +124,12 @@ def main(argv=None) -> None:
                 os.path.join(dirs["alpha_map"], stem + ".png"),
                 alpha[..., None].repeat(3, -1),
             )
+            # camera-space directions are flipped to z-out space on disk,
+            # matching the reference's saved-file convention
+            # (precompute.py:205,219)
+            zout = np.asarray([1.0, -1.0, -1.0], np.float32)
+            gb["normal_map_cam"] = gb["normal_map_cam"] * zout
+            gb["view_dir_map_cam"] = gb["view_dir_map_cam"] * zout
             for key in (
                 "normal_map", "normal_map_cam", "position_map",
                 "position_map_cam", "view_dir_map", "view_dir_map_cam",
