@@ -44,7 +44,7 @@ def main() -> None:
     from rnr_tpu.train.steps import rnr_texture_flatten_init
 
     img_size = int(os.environ.get("BENCH_IMG_SIZE", 512))
-    batch = int(os.environ.get("BENCH_BATCH", 1))
+    batch_n = int(os.environ.get("BENCH_BATCH", 1))
     steps = int(os.environ.get("BENCH_STEPS", 5))
     gcn_blocks = int(os.environ.get("BENCH_GCN_BLOCKS", 20))
     gcn_v = int(os.environ.get("BENCH_V", 7500))
@@ -60,7 +60,7 @@ def main() -> None:
         gcn_v=gcn_v,
         num_azi=6,
         num_polar=2,
-        batch=batch,
+        batch=batch_n,
     )
 
     rng = jax.random.PRNGKey(0)
@@ -92,14 +92,14 @@ def main() -> None:
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    fps = steps * batch / dt
+    fps = steps * batch_n / dt
     baseline_fps = 1.0  # nominal anchor; reference publishes no numbers
     print(
         json.dumps(
             {
                 "metric": (
                     f"rnr_train_{img_size}x{img_size}"
-                    + (f"_b{batch}" if batch != 1 else "")
+                    + (f"_b{batch_n}" if batch_n != 1 else "")
                     + "_frames_per_s_per_chip_fwdbwd"
                 ),
                 "value": round(fps, 4),
