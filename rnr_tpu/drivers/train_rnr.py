@@ -74,6 +74,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--out_channels_gcn", default=512, type=int)
     p.add_argument("--use_gcn", default=True,
                    type=lambda x: str(x).lower() in ["true", "1"])
+    p.add_argument("--knn_approx", default=True,
+                   type=lambda x: str(x).lower() in ["true", "1"])
+    p.add_argument("--knn_recall", default=0.9, type=float)
     # losses
     p.add_argument("--loss_lighting_weight", type=float, default=1.0)
     p.add_argument("--loss_lighting_uncovered_weight", type=float, default=0.1)
@@ -381,6 +384,7 @@ def main(argv=None) -> None:
             kernel_size=opt.kernel_size, n_filters=opt.n_filters,
             n_blocks=opt.n_blocks, epsilon=opt.epsilon,
             stochastic=opt.stochastic, out_channels=opt.out_channels_gcn,
+            knn_approx=opt.knn_approx, knn_recall=opt.knn_recall,
         ),
         render_net=RenderNetConfig(nf0=opt.nf0),
         loss=LossConfig(

@@ -130,7 +130,8 @@ def test_precompute_outputs(precomputed):
     assert 0 <= uv.min() and uv.max() <= 1.0
 
 
-def test_stitch_lp(precomputed):
+@pytest.fixture(scope="module")
+def stitched(precomputed):
     from rnr_tpu.drivers import stitch_lp
 
     stitch_lp.main(
@@ -139,6 +140,11 @@ def test_stitch_lp(precomputed):
             "--img_suffix", ".png", "--lp_h", "64", "--lp_w", "128",
         ]
     )
+    return precomputed
+
+
+def test_stitch_lp(stitched):
+    precomputed = stitched
     d = os.path.join(precomputed, "light_probe_stitch_all")
     assert os.path.isfile(os.path.join(d, "0.png"))
     assert os.path.isfile(os.path.join(d, "mask", "0.png"))
@@ -147,7 +153,7 @@ def test_stitch_lp(precomputed):
 
 
 @pytest.fixture(scope="module")
-def trained_rnr(precomputed):
+def trained_rnr(precomputed, stitched):
     from rnr_tpu.drivers import train_rnr
 
     log_root = os.path.join(precomputed, "logs_rnr")
