@@ -22,6 +22,17 @@ import flax.linen as nn
 from rnr_tpu.ops.interpolate import interpolate_bilinear, resize_bilinear
 
 
+def _pallas_ok(texs, uv_map) -> bool:
+    """Pallas texture-gradient path: TPU backend + tileable shapes."""
+    if jax.default_backend() != "tpu":
+        return False
+    if uv_map.shape[1] % 32 or uv_map.shape[2] % 32:
+        return False
+    return all(
+        t.shape[0] <= 128 or t.shape[0] % 128 == 0 for t in texs
+    )
+
+
 class TextureMapper(nn.Module):
     """Mipmapped neural texture sampler.
 
@@ -34,6 +45,9 @@ class TextureMapper(nn.Module):
       texture_init: optional [H, W, C0] array written into channels
         [0, C0) and [C0, 2*C0) of level 0 (reference: network.py:51-54).
       fix_texture: stop gradients into the texture parameters.
+      pallas_grad: route the texture gradient through the Pallas
+        scatter-as-matmul kernel (ops/texture_pallas.py) instead of XLA
+        scatter when running on TPU with compatible shapes.
     """
 
     texture_size: int
@@ -42,6 +56,7 @@ class TextureMapper(nn.Module):
     apply_sh: bool = True
     texture_init: np.ndarray | None = None
     fix_texture: bool = False
+    pallas_grad: bool = True
 
     def level_size(self, level: int) -> int:
         return int(np.round(self.texture_size / (2.0 ** level)))
@@ -78,18 +93,27 @@ class TextureMapper(nn.Module):
 
         Returns: [N, H, W, C] feature map (channels-last).
         """
-        out = None
+        texs = []
         for level in range(self.mipmap_level):
             tex = self._init_level(level)
             if self.fix_texture:
                 tex = jax.lax.stop_gradient(tex)
-            size = self.level_size(level)
-            # uv in texel units; v flipped so v=0 is the bottom texel row
-            # (reference: network.py:78-79).
-            x = uv_map[..., 0] * (size - 1)
-            y = (size - 1) - uv_map[..., 1] * (size - 1)
-            sample = interpolate_bilinear(tex, x, y)
-            out = sample if out is None else out + sample
+            texs.append(tex)
+
+        if self.pallas_grad and _pallas_ok(texs, uv_map):
+            from rnr_tpu.ops.texture_pallas import mipmap_sample
+
+            out = mipmap_sample(tuple(texs), uv_map)
+        else:
+            out = None
+            for level, tex in enumerate(texs):
+                size = self.level_size(level)
+                # uv in texel units; v flipped so v=0 is the bottom texel
+                # row (reference: network.py:78-79).
+                x = uv_map[..., 0] * (size - 1)
+                y = (size - 1) - uv_map[..., 1] * (size - 1)
+                sample = interpolate_bilinear(tex, x, y)
+                out = sample if out is None else out + sample
 
         if self.apply_sh and sh_basis_map is not None:
             nb = sh_basis_map.shape[-1]

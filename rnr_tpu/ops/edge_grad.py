@@ -215,3 +215,129 @@ def _sil_bwd(image_size, near, far, res, g):
 
 
 silhouette.defvjp(_sil_fwd, _sil_bwd)
+
+
+# ---------------------------------------------------------------------------
+# rasterize_opt — textured rasterization with coverage gradients
+# ---------------------------------------------------------------------------
+#
+# The reference dispatches `backward_pixel_map` for BOTH rgb and alpha on
+# every rasterize call (neural_renderer/rasterize.py:103-158, kernel
+# rasterize_cuda_kernel.cu:244-503), so photometric mesh optimization works
+# out of the box.  `rasterize_opt` is that packaging for the TPU build:
+# interior gradients (textures, weights, depth) via autodiff of the
+# analytic recompute, PLUS the screen-space coverage terms for alpha and
+# rgb via `edge_gradients`, all under one custom VJP.
+
+
+def _interior(faces, textures, fim, image_size, near, far, eps, bg):
+    """Differentiable rgb/alpha/depth given a fixed winner map."""
+    from rnr_tpu.ops.rasterize import pixel_attrs
+    from rnr_tpu.ops.render_api import sample_textures
+
+    w, zp, covered = pixel_attrs(faces, fim, image_size)
+    depth = jnp.where(covered, zp, far)
+    alpha = covered.astype(faces.dtype)
+    rgb = sample_textures(faces, textures, fim, w, zp, eps)
+    bgc = jnp.asarray(bg, rgb.dtype)
+    mask = covered[..., None].astype(rgb.dtype)
+    rgb = rgb * mask + (1.0 - mask) * bgc
+    return rgb, alpha, depth, w
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _raster_opt_core(faces, textures, image_size, near, far, eps, bg):
+    out = rasterize_face_index(faces, image_size, near=near, far=far)
+    rgb, alpha, depth, _ = _interior(
+        faces, textures, out.face_index_map, image_size, near, far, eps, bg
+    )
+    return rgb, alpha, depth
+
+
+def _raster_opt_fwd(faces, textures, image_size, near, far, eps, bg):
+    out = rasterize_face_index(faces, image_size, near=near, far=far)
+    rgb, alpha, depth, w = _interior(
+        faces, textures, out.face_index_map, image_size, near, far, eps, bg
+    )
+    return (rgb, alpha, depth), (faces, textures, out.face_index_map, w,
+                                 alpha, rgb)
+
+
+def _raster_opt_bwd(image_size, near, far, eps, bg, res, g):
+    faces, textures, fim, w, alpha, rgb = res
+    g_rgb, g_alpha, g_depth = g
+
+    def interior_fn(f, t):
+        rgb_i, alpha_i, depth_i, _ = _interior(
+            f, t, fim, image_size, near, far, eps, bg
+        )
+        return rgb_i, alpha_i, depth_i
+
+    _, vjp_fn = jax.vjp(interior_fn, faces, textures)
+    df_int, dt = vjp_fn((g_rgb, g_alpha, g_depth))
+
+    df_edge = edge_gradients(
+        faces, fim, w, alpha,
+        grad_alpha=g_alpha,
+        rgb_map=rgb,
+        grad_rgb=g_rgb,
+    )
+    return df_int + df_edge, dt
+
+
+_raster_opt_core.defvjp(_raster_opt_fwd, _raster_opt_bwd)
+
+
+def rasterize_opt(
+    faces: jax.Array,
+    textures: jax.Array,
+    image_size: int = 256,
+    anti_aliasing: bool = False,
+    near: float = 0.1,
+    far: float = 100.0,
+    eps: float = 1e-4,
+    background_color=(0.0, 0.0, 0.0),
+) -> dict[str, jax.Array]:
+    """Textured rasterization whose gradients move mesh vertices.
+
+    Drop-in for `render_api.rasterize_rgbad` when the caller optimizes
+    geometry from a photometric (rgb) or coverage (alpha) loss: the
+    backward pass adds the screen-space edge terms of
+    `backward_pixel_map_cuda` (rasterize_cuda_kernel.cu:244-503) for both
+    channels on top of the interior texture/depth gradients.
+
+    Args:
+      faces: [N, F, 3, 3] projected faces (xy NDC, z depth) —
+        differentiable, including through coverage changes.
+      textures: [N, F, ts, ts, ts, C] per-face volumetric textures.
+
+    Returns dict(rgb [N,C,S,S], alpha [N,S,S], depth [N,S,S]); with
+    anti_aliasing the 2x-supersampled render is average-pooled, matching
+    rasterize.py:296-318.
+    """
+    s_render = image_size * 2 if anti_aliasing else image_size
+    rgb, alpha, depth = _raster_opt_core(
+        faces, textures, s_render, near, far, eps,
+        tuple(background_color),
+    )
+    if anti_aliasing:
+        def pool(x):
+            return (
+                x[:, 0::2, 0::2] + x[:, 0::2, 1::2]
+                + x[:, 1::2, 0::2] + x[:, 1::2, 1::2]
+            ) * 0.25
+
+        n, c = rgb.shape[0], rgb.shape[-1]
+        rgb = jnp.moveaxis(
+            pool(
+                jnp.moveaxis(rgb, -1, 1).reshape(n * c, s_render, s_render)
+            ).reshape(n, c, image_size, image_size),
+            1, -1,
+        )
+        alpha = pool(alpha)
+        depth = pool(depth)
+    return {
+        "rgb": jnp.moveaxis(rgb, -1, 1),
+        "alpha": alpha,
+        "depth": depth,
+    }

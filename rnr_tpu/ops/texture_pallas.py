@@ -1,0 +1,373 @@
+"""Pallas mipmap texture-gradient kernel — scatter-add as MXU matmuls.
+
+The reference's texture backward is an atomicAdd scatter of `w * grad_rgb`
+into the texture at the 4 bilinear tap indices per covered pixel
+(reference: cuda/rasterize_cuda_kernel.cu:505-540).  The TPU re-design of
+that scatter (and of the autodiff VJP of `models/texture.py`'s mipmap
+sampler, which XLA lowers to a slow serialized scatter) exploits that
+bilinear weights factorize as an outer product:
+
+    w00 = wx0*wy0, w10 = wx0*wy1, w01 = wx1*wy0, w11 = wx1*wy1
+
+so the scatter of a whole pixel chunk into one texture tile is a single
+matmul between one-hot-weighted matrices built in VMEM:
+
+    dT_tile[c*Ch+ch, r] = sum_p B[c*Ch+ch, p] * A[p, r]
+      A[p, r]        = wy0[p]*(r==y0[p]) + wy1[p]*(r==y1[p])
+      B[c*Ch+ch, p]  = (wx0[p]*(c==x0[p]) + wx1[p]*(c==x1[p])) * g[p, ch]
+
+Pixel chunks (spatially-blocked 1024-pixel patches, so uv footprints are
+compact) are binned to texture tiles by uv bounding box — the same
+bin-then-walk structure as the Pallas rasterizer (rasterize_pallas.py) —
+and the kernel walks each tile's chunk list with a dynamic trip count.
+Chunks beyond the per-tile cap are *counted and reported*, never silently
+dropped: `scatter_taps` returns an overflow scalar the caller can check
+(and fall back to the XLA scatter path on).
+
+Tap semantics match `ops/interpolate.py::interpolate_bilinear` exactly
+(clamped corners, edge weight-anchor fix-up, zero outside the valid
+range), which is itself parity-tested against the reference misc.py:5-42.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _taps(x: jax.Array, y: jax.Array, h: int, w: int):
+    """Bilinear tap indices/weights, matching interpolate_bilinear."""
+    valid = ((x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)).astype(
+        x.dtype
+    )
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0w = (x0 - (x0 == x1)).astype(x.dtype)
+    y0w = (y0 - (y0 == y1)).astype(x.dtype)
+    wx0 = x1.astype(x.dtype) - x
+    wx1 = x - x0w
+    wy0 = (y1.astype(x.dtype) - y) * valid
+    wy1 = (y - y0w) * valid
+    return x0, x1, y0, y1, wx0, wx1, wy0, wy1
+
+
+def _bin_chunks(
+    x: jax.Array,
+    y: jax.Array,
+    h: int,
+    w: int,
+    tile_r: int,
+    tile_c: int,
+    max_chunks_per_tile: int,
+):
+    """Assign pixel chunks to texture tiles by valid-tap bounding box.
+
+    x, y: [n_chunks, CP] texel coordinates.
+    Returns (ids [T, M] int32 chunk indices 0-padded, counts [T] int32,
+    overflow int32 = number of (tile, chunk) pairs beyond the cap).
+    """
+    n_chunks = x.shape[0]
+    valid = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
+    big = jnp.float32(1e9)
+    xv0 = jnp.where(valid, jnp.floor(x), big)
+    yv0 = jnp.where(valid, jnp.floor(y), big)
+    xmin = jnp.min(xv0, axis=1)
+    ymin = jnp.min(yv0, axis=1)
+    xmax = jnp.max(jnp.where(valid, jnp.floor(x) + 1, -big), axis=1)
+    ymax = jnp.max(jnp.where(valid, jnp.floor(y) + 1, -big), axis=1)
+    any_valid = jnp.any(valid, axis=1)
+
+    n_tr = h // tile_r
+    n_tc = w // tile_c
+    tc0 = jnp.clip(xmin.astype(jnp.int32) // tile_c, 0, n_tc - 1)
+    tc1 = jnp.clip(xmax.astype(jnp.int32) // tile_c, 0, n_tc - 1)
+    tr0 = jnp.clip(ymin.astype(jnp.int32) // tile_r, 0, n_tr - 1)
+    tr1 = jnp.clip(ymax.astype(jnp.int32) // tile_r, 0, n_tr - 1)
+
+    ids_r = jnp.arange(n_tr)[None, :]
+    ids_c = jnp.arange(n_tc)[None, :]
+    in_r = (tr0[:, None] <= ids_r) & (ids_r <= tr1[:, None])
+    in_c = (tc0[:, None] <= ids_c) & (ids_c <= tc1[:, None])
+    overlap = (
+        in_r[:, :, None] & in_c[:, None, :] & any_valid[:, None, None]
+    ).reshape(n_chunks, n_tr * n_tc)
+
+    def per_tile(col):
+        idx = jnp.nonzero(col, size=max_chunks_per_tile, fill_value=0)[0]
+        return idx.astype(jnp.int32)
+
+    ids = jax.vmap(per_tile, in_axes=1)(overlap)  # [T, M]
+    true_counts = jnp.sum(overlap.astype(jnp.int32), axis=0)  # [T]
+    counts = jnp.minimum(true_counts, max_chunks_per_tile)
+    overflow = jnp.sum(true_counts - counts)
+    return ids, counts, overflow
+
+
+def _scatter_kernel(tile_r, tile_c, ch, chunk_px, h, w, acc_dtype,
+                    sub_px=256):
+    n_tc = w // tile_c
+    sub_px = min(sub_px, chunk_px)
+
+    def kernel(ids_ref, counts_ref, xy_ref, g_ref, out_ref, acc_ref):
+        t = pl.program_id(0)
+        m = pl.program_id(1)
+        n_m = pl.num_programs(1)
+
+        @pl.when(m == 0)
+        def _():
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+        @pl.when(m < counts_ref[t])
+        def _():
+            row0 = (t // n_tc) * tile_r
+            col0 = (t % n_tc) * tile_c
+            # Walk the chunk in sub-slices so the one-hot operand
+            # matrices stay small in VMEM (b_t is [TC*Ch, sub_px]).
+            for s in range(chunk_px // sub_px):
+                sl = slice(s * sub_px, (s + 1) * sub_px)
+                xk = xy_ref[0, 0, sl]  # [sub_px]
+                yk = xy_ref[0, 1, sl]
+                x0, x1, y0, y1, wx0, wx1, wy0, wy1 = _taps(xk, yk, h, w)
+                # A_T [sub_px, TR]: row one-hots weighted by wy
+                r_ids = jax.lax.broadcasted_iota(
+                    jnp.int32, (sub_px, tile_r), 1
+                ) + row0
+                a_t = (
+                    jnp.where(r_ids == y0[:, None], wy0[:, None], 0.0)
+                    + jnp.where(r_ids == y1[:, None], wy1[:, None], 0.0)
+                ).astype(jnp.bfloat16)
+                # B_T [TC*Ch, sub_px]: col one-hots weighted by wx,
+                # times grads.  Row j covers texel column j // Ch,
+                # channel j % Ch; g arrives as [Ch, CP] and is repeated
+                # so row j holds channel j % Ch.
+                c_ids = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (tile_c * ch, sub_px), 0
+                    )
+                    // ch
+                    + col0
+                )
+                colw = jnp.where(
+                    c_ids == x0[None, :], wx0[None, :], 0.0
+                ) + jnp.where(c_ids == x1[None, :], wx1[None, :], 0.0)
+                g_rep = pltpu.repeat(g_ref[0, :, sl], tile_c, axis=0)
+                b_t = (colw * g_rep.astype(colw.dtype)).astype(
+                    jnp.bfloat16
+                )
+                acc_ref[:, :] += jax.lax.dot(
+                    b_t, a_t, preferred_element_type=acc_dtype
+                )
+
+        @pl.when(m == n_m - 1)
+        def _():
+            out_ref[0] = acc_ref[:, :]
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "h", "w", "tile_r", "tile_c", "max_chunks_per_tile", "interpret"
+    ),
+)
+def scatter_taps(
+    x: jax.Array,
+    y: jax.Array,
+    g: jax.Array,
+    h: int,
+    w: int,
+    tile_r: int = 128,
+    tile_c: int = 128,
+    max_chunks_per_tile: int = 96,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Bilinear scatter-add of per-pixel gradients into a [h, w, Ch] grid.
+
+    Args:
+      x, y: [n_chunks, CP] texel coordinates (CP pixels per chunk; chunk
+        membership should be spatially coherent for binning to pay off).
+      g: [n_chunks, CP, Ch] per-pixel gradient vectors.
+
+    Returns:
+      (dT [h, w, Ch] float32, overflow int32).  `overflow` counts
+      (tile, chunk) pairs beyond `max_chunks_per_tile`; when nonzero the
+      result is missing those chunks' contributions — callers must check
+      (see `mipmap_sample`'s XLA fallback).
+    """
+    n_chunks, chunk_px = x.shape
+    ch = g.shape[-1]
+    tile_r = min(tile_r, h)
+    tile_c = min(tile_c, w)
+    if h % tile_r or w % tile_c:
+        raise ValueError(f"texture {h}x{w} not divisible by tile")
+    n_tiles = (h // tile_r) * (w // tile_c)
+    m_cap = min(max_chunks_per_tile, n_chunks)
+
+    ids, counts, overflow = _bin_chunks(
+        x, y, h, w, tile_r, tile_c, m_cap
+    )
+    xy = jnp.stack([x, y], axis=1)  # [n_chunks, 2, CP]
+    g_t = jnp.transpose(g, (0, 2, 1))  # [n_chunks, Ch, CP]
+
+    kernel = _scatter_kernel(
+        tile_r, tile_c, ch, chunk_px, h, w, jnp.float32
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ids, counts
+        grid=(n_tiles, m_cap),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 2, chunk_px),
+                lambda t, m, ids, counts: (ids[t, m], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, ch, chunk_px),
+                lambda t, m, ids, counts: (ids[t, m], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_c * ch, tile_r),
+            lambda t, m, ids, counts: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((tile_c * ch, tile_r), jnp.float32)],
+    )
+    out_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, tile_c * ch, tile_r), jnp.float32
+        ),
+        interpret=interpret,
+    )(ids, counts, xy, g_t)
+
+    # [T, TC*Ch, TR] -> [h, w, Ch]
+    n_tr = h // tile_r
+    n_tc = w // tile_c
+    dt = out_t.reshape(n_tr, n_tc, tile_c, ch, tile_r)
+    dt = jnp.transpose(dt, (0, 4, 1, 2, 3)).reshape(h, w, ch)
+    return dt, overflow
+
+
+def _chunk_coords(x: jax.Array, y: jax.Array, block: int = 32):
+    """Rearrange [N, H, W] pixel grids into spatially-blocked chunks.
+
+    Returns [n_chunks, block*block] arrays; H and W must be multiples of
+    `block` (all pipeline image sizes are powers of two >= 32).
+    """
+    n, h, w = x.shape
+    if h % block or w % block:
+        raise ValueError(f"image {h}x{w} not divisible by block {block}")
+
+    def blockify(a):
+        a = a.reshape(n, h // block, block, w // block, block)
+        a = jnp.transpose(a, (0, 1, 3, 2, 4))
+        return a.reshape(-1, block * block)
+
+    return blockify(x), blockify(y)
+
+
+def _chunk_values(v: jax.Array, block: int = 32):
+    """[N, H, W, C] -> [n_chunks, block*block, C] with the same ordering."""
+    n, h, w, c = v.shape
+    v = v.reshape(n, h // block, block, w // block, block, c)
+    v = jnp.transpose(v, (0, 1, 3, 2, 4, 5))
+    return v.reshape(-1, block * block, c)
+
+
+def _unchunk_values(v: jax.Array, n: int, h: int, w: int, block: int = 32):
+    """Inverse of `_chunk_values`."""
+    c = v.shape[-1]
+    v = v.reshape(n, h // block, w // block, block, block, c)
+    v = jnp.transpose(v, (0, 1, 3, 2, 4, 5))
+    return v.reshape(n, h, w, c)
+
+
+def _xla_scatter_taps(x, y, g, h, w):
+    """Plain XLA scatter-add fallback (identical tap semantics)."""
+    x0, x1, y0, y1, wx0, wx1, wy0, wy1 = _taps(
+        x.reshape(-1), y.reshape(-1), h, w
+    )
+    gf = g.reshape(-1, g.shape[-1])
+    dt = jnp.zeros((h * w, g.shape[-1]), jnp.float32)
+    for yy, xx, wy, wx in (
+        (y0, x0, wy0, wx0),
+        (y0, x1, wy0, wx1),
+        (y1, x0, wy1, wx0),
+        (y1, x1, wy1, wx1),
+    ):
+        dt = dt.at[yy * w + xx].add((wy * wx)[:, None] * gf)
+    return dt.reshape(h, w, -1)
+
+
+def _level_coords(uv_map: jax.Array, size: int):
+    """uv in [0,1] -> texel coordinates at a mipmap level (v flipped),
+    matching models/texture.py (reference: network.py:78-79)."""
+    x = uv_map[..., 0] * (size - 1)
+    y = (size - 1) - uv_map[..., 1] * (size - 1)
+    return x, y
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def mipmap_sample(textures, uv_map, interpret=False):
+    """Sum of bilinear samples of every mipmap level at uv.
+
+    Forward matches `models/texture.py::TextureMapper`'s level loop; the
+    backward texture gradient runs through the Pallas scatter kernel
+    (`scatter_taps`), falling back to XLA scatter for any level whose
+    tile binning overflowed.  uv_map receives zero gradient — the G-buffer
+    uv is data in every training path (SURVEY §3.2: gradients flow to
+    textures, never to uv).
+
+    Args:
+      textures: tuple of [S_l, S_l, Ch] level arrays (level 0 largest).
+      uv_map: [N, H, W, 2] in [0, 1].
+
+    Returns: [N, H, W, Ch].
+    """
+    from rnr_tpu.ops.interpolate import interpolate_bilinear
+
+    out = None
+    for tex in textures:
+        xl, yl = _level_coords(uv_map, tex.shape[0])
+        s = interpolate_bilinear(tex, xl, yl)
+        out = s if out is None else out + s
+    return out
+
+
+def _mipmap_sample_fwd(textures, uv_map, interpret=False):
+    # `textures` as residuals costs no memory — they are live parameters;
+    # bwd only reads their static shape/dtype.
+    return mipmap_sample(textures, uv_map, interpret), (textures, uv_map)
+
+
+def _mipmap_sample_bwd(interpret, res, g):
+    textures, uv_map = res
+    gc = _chunk_values(g, block=32)
+    grads = []
+    for tex in textures:
+        s, dtype = tex.shape[0], tex.dtype
+        xl, yl = _level_coords(uv_map, s)
+        xc, yc = _chunk_coords(xl, yl, block=32)
+        dt, overflow = scatter_taps(
+            xc, yc, gc, s, s, interpret=interpret
+        )
+        dt_fallback = jax.lax.cond(
+            overflow > 0,
+            lambda: _xla_scatter_taps(xc, yc, gc, s, s),
+            lambda: dt,
+        )
+        grads.append(dt_fallback.astype(dtype))
+    return tuple(grads), jnp.zeros_like(uv_map)
+
+
+mipmap_sample.defvjp(_mipmap_sample_fwd, _mipmap_sample_bwd)

@@ -6,7 +6,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rnr_tpu.ops.edge_grad import silhouette
+from rnr_tpu.ops.edge_grad import rasterize_opt, silhouette
 
 
 def _tri(cx=0.0, cy=0.0, r=0.5, z=2.0):
@@ -90,3 +90,102 @@ def test_silhouette_fitting_converges():
         faces = optax.apply_updates(faces, updates)
         losses.append(float(loss_fn(faces)))
     assert min(losses) < losses[0] * 0.35, (losses[0], min(losses))
+
+
+def _tex(color, f=1, ts=2):
+    t = np.zeros((1, f, ts, ts, ts, 3), np.float32)
+    t[..., :] = color
+    return jnp.asarray(t)
+
+
+class TestRasterizeOpt:
+    """Textured rasterization with coverage gradients
+    (parity target: neural_renderer/rasterize.py:103-158)."""
+
+    def test_forward_matches_rgbad(self):
+        from rnr_tpu.ops.render_api import rasterize_rgbad
+
+        faces = jnp.asarray(_tri())
+        tex = _tex((0.8, 0.3, 0.1))
+        a = rasterize_opt(faces, tex, S, anti_aliasing=False,
+                          near=0.0, far=100.0)
+        b = rasterize_rgbad(faces, tex, S, anti_aliasing=False,
+                            near=0.0, far=100.0)
+        np.testing.assert_allclose(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["alpha"]), np.asarray(b["alpha"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["depth"]), np.asarray(b["depth"]), atol=1e-5
+        )
+
+    def test_rgb_edge_term_finite_difference(self):
+        # photometric loss on a colored triangle over black background:
+        # coverage changes rgb, so vertex motion must carry gradient
+        tex = _tex((1.0, 0.5, 0.25))
+        rng = np.random.default_rng(0)
+        wmap = jnp.asarray(
+            rng.uniform(0.2, 1.0, (1, 3, S, S)).astype(np.float32)
+        )
+
+        def loss(f):
+            out = rasterize_opt(f, tex, S, anti_aliasing=False,
+                                near=0.0, far=100.0)
+            return jnp.sum(out["rgb"] * wmap)
+
+        faces0 = _tri()
+        g = np.asarray(jax.grad(loss)(jnp.asarray(faces0)))[0, 0]
+        assert np.abs(g[:, :2]).max() > 0  # edge term is alive
+        eps = 2.0 * (2.0 / S)
+        for vi, ax in [(0, 0), (0, 1), (1, 0), (2, 1)]:
+            fp = faces0.copy()
+            fp[0, 0, vi, ax] += eps
+            fm = faces0.copy()
+            fm[0, 0, vi, ax] -= eps
+            fd = (float(loss(jnp.asarray(fp)))
+                  - float(loss(jnp.asarray(fm)))) / (2 * eps)
+            an = g[vi, ax]
+            assert np.sign(fd) == np.sign(an), (vi, ax, fd, an)
+            assert 0.2 < abs(an) / max(abs(fd), 1e-6) < 5.0, (vi, ax, fd, an)
+
+    def test_texture_gradient_flows(self):
+        faces = jnp.asarray(_tri())
+        tex = _tex((0.5, 0.5, 0.5))
+
+        def loss(t):
+            out = rasterize_opt(faces, t, S, anti_aliasing=False,
+                                near=0.0, far=100.0)
+            return jnp.sum(out["rgb"])
+
+        g = np.asarray(jax.grad(loss)(tex))
+        assert np.abs(g).max() > 0
+
+    def test_photometric_fitting_converges(self):
+        # optimize vertex positions from a textured RGB loss only
+        # (VERDICT r1 item 4's done-criterion)
+        import optax
+
+        tex = _tex((0.9, 0.6, 0.2))
+        target_faces = jnp.asarray(_tri(cx=0.12, cy=-0.08, r=0.45))
+        target = rasterize_opt(target_faces, tex, S, anti_aliasing=False,
+                               near=0.0, far=100.0)["rgb"]
+
+        faces = jnp.asarray(_tri(cx=0.0, cy=0.0, r=0.55))
+
+        def loss_fn(f):
+            rgb = rasterize_opt(f, tex, S, anti_aliasing=False,
+                                near=0.0, far=100.0)["rgb"]
+            return jnp.mean((rgb - target) ** 2)
+
+        tx = optax.adam(5e-3)
+        opt_state = tx.init(faces)
+        losses = [float(loss_fn(faces))]
+        step = jax.jit(jax.grad(loss_fn))
+        for _ in range(150):
+            g = step(faces)
+            updates, opt_state = tx.update(g, opt_state)
+            faces = optax.apply_updates(faces, updates)
+            losses.append(float(loss_fn(faces)))
+        assert min(losses) < losses[0] * 0.35, (losses[0], min(losses))
