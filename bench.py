@@ -45,6 +45,8 @@ def main() -> None:
 
     img_size = int(os.environ.get("BENCH_IMG_SIZE", 512))
     batch_n = int(os.environ.get("BENCH_BATCH", 1))
+    # remat defaults on for batch>1 (batch 4 at 512^2 OOMs without it)
+    remat = bool(int(os.environ.get("BENCH_REMAT", 1 if batch_n > 1 else 0)))
     steps = int(os.environ.get("BENCH_STEPS", 5))
     gcn_blocks = int(os.environ.get("BENCH_GCN_BLOCKS", 20))
     gcn_v = int(os.environ.get("BENCH_V", 7500))
@@ -61,6 +63,7 @@ def main() -> None:
         num_azi=6,
         num_polar=2,
         batch=batch_n,
+        remat=remat,
     )
 
     rng = jax.random.PRNGKey(0)

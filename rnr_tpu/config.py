@@ -66,6 +66,12 @@ class GCNTrainConfig:
     out_channels: int = 512
     knn_approx: bool = True
     knn_recall: float = 0.9
+    graph_refresh_every: int = 1
+    # dilation threshold for the Pallas stratified-kNN graphs
+    # (models/gcn.py GCNConfig.strat_min_dilation; 0 = reference windowed
+    # top-k for every block)
+    strat_min_dilation: int = 3
+    stratum_width: int = 16
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,6 +80,8 @@ class RenderNetConfig:
     num_down_unet: int = 5
     norm: str = "batch"  # "batch" | "group" | "none"
     compute_dtype: str = "bfloat16"  # conv compute dtype; params stay f32
+    # rematerialize U-Net blocks in backward (enables batch>=4 at 512^2)
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -103,6 +103,11 @@ def main(argv=None) -> None:
             with_high_maps=not opt.only_mesh_related,
         )
         gb = {k: np.asarray(v) for k, v in gb.items()}
+        if int(gb.pop("raster_overflow", np.int32(0)).sum()):
+            raise RuntimeError(
+                f"view {stem}: rasterizer tile binning overflowed — "
+                "raise max_faces_per_tile (render would be incomplete)"
+            )
 
         scipy.io.savemat(
             os.path.join(dirs["raster"], stem + ".mat"),

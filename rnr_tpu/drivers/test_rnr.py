@@ -42,6 +42,16 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="render under this learned lighting (default: all)")
     p.add_argument("--lp_dir", type=str, default=None,
                    help="directory of novel light probes to relight with")
+    p.add_argument("--lp_sh", default=True,
+                   type=lambda x: str(x).lower() in ["true", "1"],
+                   help="project novel probes onto SH and relight through "
+                        "the fast direct-SH path (reference "
+                        "test_rnr.py:153-163); false = raw probe gather")
+    p.add_argument("--per_stage_timing", default=False,
+                   type=lambda x: str(x).lower() in ["true", "1"],
+                   help="time texture/rays/unet/render as separate "
+                        "programs (reference test_rnr.py:280-374 "
+                        "granularity) instead of the fused step")
     p.add_argument("--sphere_samples_fp", type=str,
                    default="./sphere_samples_4096.mat")
     p.add_argument("--save_lp_background", default=False,
@@ -137,13 +147,29 @@ def main(argv=None) -> None:
             method=lambda m, p_: m.compute_v_feature(p_),
         )
 
-    # lightings to render under
+    # lightings to render under: (name, lp probe | None, sh coeff | None)
     lps = []
     if opt.lp_dir is not None and os.path.isdir(opt.lp_dir):
         lp_ds = LightProbeDataset(opt.lp_dir, img_gamma=opt.img_gamma)
         lp_ds.buffer_all()
+        probes = np.stack([lp_ds[i]["lp_img"] for i in range(len(lp_ds))])
+        sh_coeffs = None
+        if opt.lp_sh:
+            # fit the probes to SH once and relight through the direct-SH
+            # path, like the reference projects novel probes through
+            # LightingSH (test_rnr.py:153-163)
+            lp_model = LightingLP(l_dir=l_dir, lps=probes)
+            lp_vars = lp_model.init(jax.random.PRNGKey(0))
+            sh_coeffs = lp_model.apply(
+                lp_vars,
+                method=lambda m: m.fit_sh(cfg.lighting.sh_lmax),
+            )
         for i in range(len(lp_ds)):
-            lps.append(("novel%02d" % i, jnp.asarray(lp_ds[i]["lp_img"][None])))
+            lps.append((
+                "novel%02d" % i,
+                jnp.asarray(probes[i][None]),
+                None if sh_coeffs is None else sh_coeffs[i],
+            ))
     elif opt.lighting_idx is not None:
         variables = {
             "params": state.params, "constants": state.constants,
@@ -153,7 +179,7 @@ def main(argv=None) -> None:
             variables, opt.lighting_idx, True,
             method=lambda m, i, l: m.lighting(i, is_lp=l),
         )
-        lps.append((f"learned{opt.lighting_idx}", lp))
+        lps.append((f"learned{opt.lighting_idx}", lp, None))
     else:
         variables = {
             "params": state.params, "constants": state.constants,
@@ -164,30 +190,49 @@ def main(argv=None) -> None:
                 variables, i, True,
                 method=lambda m, idx, l: m.lighting(idx, is_lp=l),
             )
-            lps.append((f"learned{i}", lp))
+            lps.append((f"learned{i}", lp, None))
 
     out_dir = opt.out_dir or os.path.join(
         opt.checkpoint_dir, f"test_seq_{opt.sampling_pattern}"
     )
-    for name, _ in lps:
+    for name, _, _ in lps:
         cond_mkdir(os.path.join(out_dir, name))
+
+    # Timing uses scalar fetches to synchronize: block_until_ready can
+    # return early on the axon backend (CLAUDE.md pitfall), so every
+    # bucket boundary fetches a device scalar instead.
+    def sync(x):
+        return float(jnp.sum(x[(0,) * (x.ndim - 1)][..., :1]))
+
+    staged = _make_staged(model, state) if opt.per_stage_timing else None
 
     print(f"rendering {len(ds)} views under {len(lps)} lightings")
     for i in range(len(ds)):
+        t0 = time.time()
         view = ds.read_view(i)
-        t0 = time.time()
+        batch_host_done = time.time()
         gb = _gbuffer(render_gbuffer, mesh_buf, view, opt.img_size)
-        jax.block_until_ready(gb["alpha_map"])
-        t_raster = time.time() - t0
-
-        t0 = time.time()
+        sync(gb["alpha_map"])
+        t_raster = time.time() - batch_host_done
+        if "raster_overflow" in gb and int(np.asarray(
+                gb["raster_overflow"]).sum()):
+            print(f"WARNING view {i}: raster tile-binning overflow — "
+                  "render incomplete, raise max_faces_per_tile")
         batch = _to_batch(gb, gcn_pos)
-        t_prep = time.time() - t0
+        t_prep = batch_host_done - t0
 
+        times = {}
         t0 = time.time()
-        for name, lp in lps:
-            out = eval_step(state, batch, lp_override=lp, relight=True,
-                            v_feature=v_feature)
+        for name, lp, sh_coeff in lps:
+            if staged is not None:
+                out, stage_times = staged(
+                    batch, lp, sh_coeff, v_feature
+                )
+                for k, v in stage_times.items():
+                    times[k] = times.get(k, 0.0) + v
+            else:
+                out = eval_step(state, batch, lp_override=lp, relight=True,
+                                v_feature=v_feature, sh_override=sh_coeff)
             img = np.asarray(out["img"][0])
             alpha = np.asarray(gb["alpha_map"][0])[..., None]
             img = img * alpha
@@ -205,11 +250,124 @@ def main(argv=None) -> None:
                 img,
             )
         t_net = time.time() - t0
+        stage_str = "".join(f"  {k} {v:.3f}" for k, v in times.items())
         print(
-            f"view {i:04d}  t_raster {t_raster:.3f}  t_prep {t_prep:.3f}  "
-            f"t_network_render {t_net:.3f}"
+            f"view {i:04d}  t_prep {t_prep:.3f}  t_raster {t_raster:.3f}  "
+            f"t_network_render {t_net:.3f}{stage_str}"
         )
     print("wrote", out_dir)
+
+
+def _make_staged(model, state):
+    """Per-stage timed forward (reference test_rnr.py:280-374 buckets).
+
+    Splits the fused inference program into separately-jitted stages —
+    texture sampling, ray fans, U-Net, SH shading + ray composition —
+    each synchronized by a scalar fetch, so the printed buckets reflect
+    real device time per component.  Slower overall than the fused step
+    (loses XLA cross-stage fusion); for diagnostics only.
+    """
+    import jax
+    import jax.numpy as jnp
+    import time
+
+    variables = {
+        "params": state.params, "constants": state.constants,
+        "spectral": state.spectral,
+    }
+    c = model.cfg
+
+    @jax.jit
+    def stage_texture(batch):
+        return model.apply(
+            variables, batch["uv_map"], batch["sh_basis_map"],
+            method=lambda m, uv, shb: m.texture_mapper(
+                uv, shb, sh_start_ch=6
+            ),
+        )
+
+    @jax.jit
+    def stage_rays(batch):
+        def run(m, tbn, vdt, alpha):
+            ds_, us_, _ = m.ray_sampler(tbn, vdt, alpha)
+            dd_, ud_, _ = m.ray_sampler_diffuse(tbn, vdt, alpha)
+            return (jnp.concatenate([ds_, dd_], -1),
+                    jnp.concatenate([us_, ud_], -1))
+        return model.apply(
+            variables, batch["TBN_map"], batch["view_dir_map_tangent"],
+            batch["alpha_map"], method=run,
+        )
+
+    @jax.jit
+    def stage_network(batch, neural_img, rays_dir, v_feature):
+        def run(m, b, ni, rd, vf):
+            n, h, w = b["alpha_map"].shape[:3]
+            r_total = rd.shape[-1]
+            if vf is not None:
+                vf = jnp.broadcast_to(vf, (n, vf.shape[-1]))
+            net_in = jnp.concatenate(
+                [jnp.swapaxes(rd, -1, -2).reshape(n, h, w, r_total * 3),
+                 b["normal_map"], b["view_dir_map"], ni], axis=-1)
+            lt = m.render_net(net_in, vf, train=False)
+            rays_lt = lt.reshape(n, h, w, r_total, 3)
+            return (rays_lt * 0.5 + 0.5) * c.rays.lt_max_val
+        return model.apply(
+            variables, batch, neural_img, rays_dir, v_feature, method=run,
+        )
+
+    @jax.jit
+    def stage_render_sh(batch, neural_img, rays_dir, rays_lt, sh_coeff):
+        from rnr_tpu.models.rays import ray_render_sh
+        return ray_render_sh(
+            neural_img[..., 3:6], rays_dir, batch["alpha_map"], rays_lt,
+            sh_coeff, c.lighting.sh_lmax,
+            num_ray_diffuse=c.rays.num_azi * c.rays.num_polar + 1,
+            albedo_diffuse=neural_img[..., 0:3], separate_albedo=True,
+        )
+
+    @jax.jit
+    def stage_render_lp(batch, neural_img, rays_uv, rays_lt, lp):
+        from rnr_tpu.models.rays import ray_render
+        return ray_render(
+            neural_img[..., 3:6], rays_uv, rays_lt, lp,
+            num_ray_diffuse=c.rays.num_azi * c.rays.num_polar + 1,
+            albedo_diffuse=neural_img[..., 0:3], separate_albedo=True,
+        )
+
+    def sync(x):
+        return float(jnp.sum(jnp.ravel(x)[:1]))
+
+    def run(batch, lp, sh_coeff, v_feature):
+        times = {}
+        t0 = time.time()
+        neural_img = stage_texture(batch)
+        sync(neural_img)
+        times["t_texture"] = time.time() - t0
+
+        t0 = time.time()
+        rays_dir, rays_uv = stage_rays(batch)
+        sync(rays_dir)
+        times["t_rays"] = time.time() - t0
+
+        t0 = time.time()
+        rays_lt = stage_network(batch, neural_img, rays_dir, v_feature)
+        sync(rays_lt)
+        times["t_network"] = time.time() - t0
+
+        t0 = time.time()
+        if sh_coeff is not None:
+            rendered = stage_render_sh(
+                batch, neural_img, rays_dir, rays_lt, sh_coeff
+            )
+        else:
+            rendered = stage_render_lp(
+                batch, neural_img, rays_uv, rays_lt, lp
+            )
+        sync(rendered["out"])
+        times["t_render"] = time.time() - t0
+        return {"img": rendered["out"]}, times
+
+    return run
 
 
 def _gbuffer(render_gbuffer, mesh_buf, view, img_size):

@@ -65,6 +65,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lighting_relight_idx", default=None, type=int)
     # render net
     p.add_argument("--nf0", type=int, default=64)
+    p.add_argument("--unet_remat", default=False,
+                   type=lambda x: str(x).lower() in ["true", "1"],
+                   help="rematerialize U-Net blocks (needed for batch>=4 "
+                        "at 512^2 on one chip)")
     # gcn (train_rnr.py:84-95)
     p.add_argument("--kernel_size", default=16, type=int)
     p.add_argument("--n_filters", default=64, type=int)
@@ -77,6 +81,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--knn_approx", default=True,
                    type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--knn_recall", default=0.9, type=float)
+    p.add_argument("--graph_refresh_every", default=1, type=int)
+    p.add_argument("--strat_min_dilation", default=3, type=int,
+                   help="dilation threshold for Pallas stratified-kNN "
+                        "graphs; 0 = reference windowed top-k everywhere")
+    p.add_argument("--stratum_width", default=16, type=int)
     # losses
     p.add_argument("--loss_lighting_weight", type=float, default=1.0)
     p.add_argument("--loss_lighting_uncovered_weight", type=float, default=0.1)
@@ -102,6 +111,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_devices", type=int, default=None,
                    help="shard the step over the first N devices")
     p.add_argument("--mesh_dp", type=int, default=1)
+    # multi-host (run the same command on every host; see
+    # parallel/distributed.py)
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="HOST:PORT of process 0; enables multi-host")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--local_device_count", type=int, default=None,
+                   help="force N virtual CPU devices per process "
+                        "(multi-host testing without hardware)")
     return p
 
 
@@ -156,7 +174,23 @@ def main(argv=None) -> None:
     opt = build_argparser().parse_args(argv)
     setup_jax(opt.platform)
 
+    from rnr_tpu.parallel.distributed import (
+        init_distributed, is_main_process, fetch_global,
+    )
+
+    distributed = init_distributed(
+        opt.coordinator_address, opt.num_processes, opt.process_id,
+        opt.local_device_count,
+    )
+
     import jax
+
+    if distributed:
+        print(
+            f"process {jax.process_index()}/{jax.process_count()}: "
+            f"{jax.local_device_count()} local / "
+            f"{jax.device_count()} global devices"
+        )
     import jax.numpy as jnp
     from rnr_tpu.config import (
         RNRConfig, TextureConfig, LightingConfig, RaysConfig,
@@ -196,6 +230,7 @@ def main(argv=None) -> None:
         l_samples_init = rng_np.uniform(0, 1, (num_sample, 3)).astype(np.float32)
         l_samples_mask = (rng_np.uniform(size=num_sample) > 0.3).astype(np.float32)
         init_coeff = None
+        lp_fit_coeff = None
         texture_init = None
         lp_relight = None
         relight_views = None
@@ -259,6 +294,7 @@ def main(argv=None) -> None:
 
         # light probes -> LightingLP -> SH init (train_rnr.py:264-275)
         init_coeff = None
+        lp_fit_coeff = None  # GT SH coeffs from probes (train_rnr.py:315)
         num_lighting = 1
         lp_relight = None
         if opt.lp_dir is not None and os.path.isdir(opt.lp_dir):
@@ -273,11 +309,12 @@ def main(argv=None) -> None:
             )
             lp_model = LightingLP(l_dir=l_dir, lps=lps)
             lp_vars = lp_model.init(jax.random.PRNGKey(0))
-            init_coeff = np.asarray(
+            init_coeff = np.array(  # writable copy (jax buffers are not)
                 lp_model.apply(
                     lp_vars, method=lambda m: m.fit_sh(opt.sh_lmax)
                 )
             )
+            lp_fit_coeff = init_coeff.copy()
             num_lighting = lps.shape[0]
 
         # stitched probe -> lighting loss anchors (train_rnr.py:277-329)
@@ -385,8 +422,11 @@ def main(argv=None) -> None:
             n_blocks=opt.n_blocks, epsilon=opt.epsilon,
             stochastic=opt.stochastic, out_channels=opt.out_channels_gcn,
             knn_approx=opt.knn_approx, knn_recall=opt.knn_recall,
+            graph_refresh_every=opt.graph_refresh_every,
+            strat_min_dilation=opt.strat_min_dilation,
+            stratum_width=opt.stratum_width,
         ),
-        render_net=RenderNetConfig(nf0=opt.nf0),
+        render_net=RenderNetConfig(nf0=opt.nf0, remat=opt.unet_remat),
         loss=LossConfig(
             loss_lighting_weight=opt.loss_lighting_weight,
             loss_lighting_uncovered_weight=opt.loss_lighting_uncovered_weight,
@@ -415,10 +455,15 @@ def main(argv=None) -> None:
         + (("_" + opt.exp_name) if opt.exp_name else "")
     )
     log_dir = os.path.join(log_root, dir_name)
-    cond_mkdir(log_dir)
-    for sub in ("val_out", "val_gt", "val_err", "val_relight_out"):
-        cond_mkdir(os.path.join(log_dir, sub))
-    save_config(cfg, os.path.join(log_dir, "params.json"))
+    # multi-host: every process computes the same replicated results;
+    # only process 0 owns the filesystem outputs
+    main_proc = is_main_process()
+    if main_proc:
+        cond_mkdir(log_dir)
+        for sub in ("val_out", "val_gt", "val_err", "val_relight_out",
+                    "val_relight_err", "val_relight_gt"):
+            cond_mkdir(os.path.join(log_dir, sub))
+        save_config(cfg, os.path.join(log_dir, "params.json"))
 
     key = jax.random.PRNGKey(opt.seed)
     bs = opt.batch_size
@@ -463,9 +508,36 @@ def main(argv=None) -> None:
             method=lambda m, i, l: m.lighting(i, is_lp=l),
         )
 
+    # lighting ground truth + probe reconstructions (train_rnr.py:313-316):
+    # when lp probes exist, GT SH coeffs come from LightingLP.fit_sh and
+    # the per-iteration lighting-estimation error is tracked against them
+    def recon_probe(coeff):
+        variables = {
+            "params": state.params, "constants": state.constants,
+            "spectral": state.spectral,
+        }
+        return np.asarray(
+            model.apply(
+                variables, jnp.asarray(coeff),
+                method=lambda m, c_: m.lighting.reconstruct_lp(c_),
+            )
+        )
+
+    has_lighting_gt = lp_fit_coeff is not None and lighting_idx < len(
+        lp_fit_coeff
+    )
+    lighting_coeff_gt = None
+    lp_gt = None
+    lp_init = None
+    if has_lighting_gt:
+        lighting_coeff_gt = lp_fit_coeff[lighting_idx]
+        lp_gt = recon_probe(lighting_coeff_gt)
+    if init_coeff is not None and lighting_idx < len(init_coeff):
+        lp_init = recon_probe(init_coeff[lighting_idx])
+
     try:
         from tensorboardX import SummaryWriter
-        writer = SummaryWriter(log_dir)
+        writer = SummaryWriter(log_dir) if main_proc else None
     except Exception:
         writer = None
 
@@ -474,6 +546,7 @@ def main(argv=None) -> None:
     order_rng = np.random.default_rng(opt.seed)
     it = opt.start_epoch * len(train_views)
     history = []
+    ran_val = False
     for epoch in range(opt.start_epoch, opt.max_epoch):
         order = order_rng.permutation(len(train_views))
 
@@ -486,7 +559,7 @@ def main(argv=None) -> None:
         # host-side batch assembly overlaps device execution
         for batch in prefetch(epoch_batches(), depth=2):
             if opt.max_iter is not None and it >= opt.max_iter:
-                _final(log_dir, state, history, it)
+                _final(log_dir, state, history, it, write=main_proc)
                 return
             t0 = time.time()
             key, sub = jax.random.split(key)
@@ -511,6 +584,27 @@ def main(argv=None) -> None:
                     writer.add_scalar(
                         "final_psnr_valid", float(metrics["psnr_valid"]), it
                     )
+                    # lighting-estimation error vs probe GT
+                    # (train_rnr.py:631-633,650-654)
+                    if has_lighting_gt:
+                        est_coeff = np.asarray(
+                            state.params["lighting"]["coeff"]
+                        )[lighting_idx]
+                        writer.add_scalar(
+                            "lighting_sh_coeff_mae",
+                            float(np.abs(lighting_coeff_gt - est_coeff).sum()),
+                            it,
+                        )
+                        lp_est = recon_probe(est_coeff)
+                        from rnr_tpu.utils.eval_metrics import psnr_np
+                        writer.add_scalar(
+                            "lp_mae_valid",
+                            float(np.abs(lp_est - lp_gt).mean() * 255.0), it,
+                        )
+                        writer.add_scalar(
+                            "lp_psnr_valid",
+                            psnr_np(lp_est * 255.0, lp_gt * 255.0), it,
+                        )
                 print(
                     f"Iter {it:07d} Epoch {epoch:03d} loss {loss:.4f} "
                     f"rn {float(metrics['loss_rn']):.4f} "
@@ -521,45 +615,102 @@ def main(argv=None) -> None:
                     f"t {time.time() - t0:.3f}s"
                 )
 
+            # tensorboard image grids (train_rnr.py:658-704).  NOTE the
+            # outer condition must be process-uniform: fetch_global is a
+            # cross-host collective, so EVERY process enters when any
+            # does (a main-only gate would deadlock/mismatch gloo).
+            if (writer or distributed) and it % opt.log_freq == 0:
+                # metrics["img"] may span all hosts' devices
+                img = np.clip(fetch_global(metrics["img"]), 0, 1)
+                gt = np.clip(np.asarray(batch["img_gt"]), 0, 1)
+                err = np.clip(np.abs(img - gt), 0, 1)
+                grid = np.concatenate(
+                    [np.concatenate([img[i], gt[i], err[i]], axis=1)
+                     for i in range(img.shape[0])],
+                    axis=0,
+                )
+                if writer:
+                    writer.add_image("output_final_vs_gt", grid, it,
+                                     dataformats="HWC")
+                    rows = []
+                    if lp_init is not None:
+                        rows.append(np.clip(lp_init, 0, 1))
+                    est_coeff = np.asarray(
+                        state.params["lighting"]["coeff"]
+                    )[lighting_idx]
+                    lp_est_img = recon_probe(est_coeff)
+                    rows.append(np.clip(lp_est_img, 0, 1))
+                    if lp_gt is not None:
+                        rows.append(np.clip(lp_gt, 0, 1))
+                        rows.append(
+                            np.clip(np.abs(lp_est_img - lp_gt), 0, 1)
+                        )
+                    writer.add_image(
+                        "lp_init_est_gt", np.concatenate(rows, axis=0), it,
+                        dataformats="HWC",
+                    )
+
             if it and it % opt.val_freq == 0:
                 _validate(
                     eval_step, state, val_views, relight_views, gcn_pos, bs,
                     log_dir, it, writer, lp_relight_arr,
+                    first_val=not ran_val, write_images=main_proc,
                 )
+                ran_val = True
             it += 1
-            if it % opt.ckp_freq == 0:
+            if main_proc and it % opt.ckp_freq == 0:
                 save_checkpoint(
                     os.path.join(log_dir, f"model_iter-{it}.ckpt"), state
                 )
-    _final(log_dir, state, history, it)
+    _final(log_dir, state, history, it, write=main_proc)
 
 
 def _validate(eval_step, state, val_views, relight_views, gcn_pos, bs,
-              log_dir, it, writer, lp_relight):
-    from rnr_tpu.ops.metrics import masked_err_metrics
+              log_dir, it, writer, lp_relight, first_val=False,
+              write_images=True):
+    """Validation loop with reference observability (train_rnr.py:707-887):
+    masked MAE/MSE/PSNR/SSIM (full + bb + valid variants), val_out /
+    val_err PNGs every pass, val_gt once, relight out/err/gt and a
+    relight image grid when a relight channel exists."""
+    from rnr_tpu.utils.eval_metrics import compute_err_metrics_batch
+    from rnr_tpu.parallel.distributed import fetch_global
 
-    vals, vals_rel = [], []
+    agg: dict = {}
+    agg_rel: dict = {}
+
+    def accumulate(dst, m):
+        for k, v in m.items():
+            if not k.endswith("_mean"):
+                dst.setdefault(k, []).extend(np.ravel(v).tolist())
+
+    relight_grid = None
     for start in range(0, len(val_views) - bs + 1, bs):
         views = val_views[start:start + bs]
         batch = make_rnr_batch(views, gcn_pos)
         out = eval_step(state, batch)
-        img = np.asarray(out["img"])
+        img = fetch_global(out["img"])
+        gt = np.asarray(batch["img_gt"])
         alpha = np.asarray(batch["alpha_map"])
-        m = masked_err_metrics(
-            img * alpha * 255.0,
-            np.asarray(batch["img_gt"]) * alpha * 255.0, alpha
+        m = compute_err_metrics_batch(
+            img * alpha * 255.0, gt * alpha * 255.0, alpha,
+            compute_ssim=True,
         )
-        vals.append((float(m["mae_valid"]), float(m["psnr_valid"])))
-        for i in range(bs):
-            save_png(
-                os.path.join(log_dir, "val_out", f"{it:08d}_{start + i:05d}.png"),
-                img[i],
-            )
+        accumulate(agg, m)
+        err = np.clip(np.abs(img - gt), 0.0, 1.0)
+        for i in range(bs) if write_images else ():
+            stem = f"{it:08d}_{start + i:05d}.png"
+            save_png(os.path.join(log_dir, "val_out", stem), img[i])
+            save_png(os.path.join(log_dir, "val_err", stem), err[i])
+            if first_val:
+                save_png(
+                    os.path.join(log_dir, "val_gt", f"{start + i:05d}.png"),
+                    gt[i],
+                )
         if lp_relight is not None:
             out_r = eval_step(state, batch, lp_override=lp_relight,
                               relight=True)
-            img_r = np.asarray(out_r["img"])
-            for i in range(bs):
+            img_r = fetch_global(out_r["img"])
+            for i in range(bs) if write_images else ():
                 save_png(
                     os.path.join(log_dir, "val_relight_out",
                                  f"{it:08d}_{start + i:05d}.png"),
@@ -570,39 +721,70 @@ def _validate(eval_step, state, val_views, relight_views, gcn_pos, bs,
                     [np.asarray(v["img_gt"]) for v in
                      relight_views[start:start + bs]]
                 )
-                mr = masked_err_metrics(
-                    img_r * alpha * 255.0, gt_r * alpha * 255.0, alpha
+                mr = compute_err_metrics_batch(
+                    img_r * alpha * 255.0, gt_r * alpha * 255.0, alpha,
+                    compute_ssim=True,
                 )
-                vals_rel.append(
-                    (float(mr["mae_valid"]), float(mr["psnr_valid"]))
+                accumulate(agg_rel, mr)
+                err_r = np.clip(np.abs(img_r - gt_r), 0.0, 1.0)
+                for i in range(bs) if write_images else ():
+                    stem = f"{it:08d}_{start + i:05d}.png"
+                    save_png(
+                        os.path.join(log_dir, "val_relight_err", stem),
+                        err_r[i],
+                    )
+                    if first_val:
+                        save_png(
+                            os.path.join(log_dir, "val_relight_gt",
+                                         f"{start + i:05d}.png"),
+                            gt_r[i],
+                        )
+                if relight_grid is None:
+                    relight_grid = np.concatenate(
+                        [np.concatenate(
+                            [np.clip(img_r[i], 0, 1), np.clip(gt_r[i], 0, 1),
+                             err_r[i]], axis=1)
+                         for i in range(bs)],
+                        axis=0,
+                    )
+            elif relight_grid is None:
+                relight_grid = np.concatenate(
+                    [np.clip(img_r[i], 0, 1) for i in range(bs)], axis=0
                 )
-    if vals:
-        mae = float(np.mean([v[0] for v in vals]))
-        psnr = float(np.mean([v[1] for v in vals]))
-        print(f"Val @ {it}: mae {mae:.4f} psnr {psnr:.4f}")
+
+    def report(tag, acc, prefix):
+        if not acc:
+            return
+        means = {k: float(np.mean(v)) for k, v in acc.items()}
+        print(
+            f"Val{tag} @ {it}: mae {means['mae_valid']:.4f} "
+            f"psnr {means['psnr_valid']:.4f} ssim {means['ssim_valid']:.4f}"
+        )
         if writer:
-            writer.add_scalar("final_mae_valid_val", mae, it)
-            writer.add_scalar("final_psnr_valid_val", psnr, it)
-    if vals_rel:
-        mae = float(np.mean([v[0] for v in vals_rel]))
-        psnr = float(np.mean([v[1] for v in vals_rel]))
-        print(f"Val relight @ {it}: mae {mae:.4f} psnr {psnr:.4f}")
-        if writer:
-            writer.add_scalar("final_relight_mae_valid_val", mae, it)
-            writer.add_scalar("final_relight_psnr_valid_val", psnr, it)
+            for k in ("mae_valid", "psnr_valid", "ssim_valid", "mae_bb",
+                      "psnr_bb", "ssim_bb", "mse_valid"):
+                if k in means:
+                    writer.add_scalar(f"{prefix}{k}_val", means[k], it)
+
+    report("", agg, "final_")
+    report(" relight", agg_rel, "final_relight_")
+    if writer and relight_grid is not None:
+        writer.add_image("relight_final_est_gt", relight_grid, it,
+                         dataformats="HWC")
 
 
-def _final(log_dir, state, history, total_iters=None):
+def _final(log_dir, state, history, total_iters=None, write=True):
     from rnr_tpu.train import save_checkpoint
 
-    save_checkpoint(os.path.join(log_dir, "model_final.ckpt"), state)
     summary = {
         "first_loss": history[0] if history else None,
         "last_loss": history[-1] if history else None,
         "iters": total_iters if total_iters is not None else len(history),
     }
-    with open(os.path.join(log_dir, "summary.json"), "w") as f:
-        json.dump(summary, f)
+    if write:
+        save_checkpoint(os.path.join(log_dir, "model_final.ckpt"), state)
+        with open(os.path.join(log_dir, "summary.json"), "w") as f:
+            json.dump(summary, f)
     print("final:", json.dumps(summary))
 
 

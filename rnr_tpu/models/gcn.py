@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from rnr_tpu.parallel.constraints import constrain
+
 
 @dataclasses.dataclass(frozen=True)
 class GCNConfig:
@@ -51,6 +53,16 @@ class GCNConfig:
     # gcn_lib/dense/torch_vertex.py:68-70); higher values trade graph
     # freshness for a near-linear cut in top-k cost (SURVEY hard-part #7).
     graph_refresh_every: int = 1
+    # Blocks with dilation >= strat_min_dilation build their neighborhoods
+    # from the fused Pallas stratified-kNN kernel (ops/knn_pallas.py):
+    # nearest-vertex-per-column-stratum candidates sampled with a
+    # per-block phase stride.  ApproxTopK cost grows linearly with
+    # k*dilation (16.5 ms at k=304/recall 0.9 on v5e) while the
+    # stratified kernel is k-independent (~1 ms); low-dilation blocks
+    # keep exact-rank graphs where tight neighborhoods matter.
+    # 0 disables stratified sampling entirely (pure reference semantics).
+    strat_min_dilation: int = 3
+    stratum_width: int = 16
 
 
 def knn_graph(x: jax.Array, k: int, approx: bool = False,
@@ -79,15 +91,57 @@ def knn_graph(x: jax.Array, k: int, approx: bool = False,
         inner = jax.lax.dot(
             xb, xb.T, preferred_element_type=jnp.bfloat16
         )
-        dist = sq + sq.T - 2.0 * inner
+        # under a mesh: row-shard the [V, V] distance matrix over sp so
+        # every device ranks only its own query rows (top-k is per-row)
+        dist = constrain(sq + sq.T - 2.0 * inner, "sp", None)
         _, idx = jax.lax.approx_max_k(-dist, k, recall_target=recall)
     else:
         sq = jnp.sum(x * x, axis=-1, keepdims=True)       # [V, 1]
         dist = sq + sq.T - 2.0 * jax.lax.dot(
             x, x.T, precision=jax.lax.Precision.HIGHEST
         )
+        dist = constrain(dist, "sp", None)
         _, idx = jax.lax.top_k(-dist, k)
     return idx.astype(jnp.int32)
+
+
+def stratified_candidates(x: jax.Array, stratum: int) -> jax.Array:
+    """Per-row nearest-in-stratum candidate sets (non-differentiable)."""
+    from rnr_tpu.ops.knn_pallas import stratified_knn
+
+    x = jax.lax.stop_gradient(x)
+    return stratified_knn(
+        x, stratum=stratum, interpret=jax.default_backend() != "tpu"
+    )
+
+
+def sample_strata(
+    strat: jax.Array,
+    k: int,
+    phase_seed: int,
+    stochastic: bool,
+    epsilon: float,
+    rng: jax.Array | None,
+    train: bool,
+) -> jax.Array:
+    """Pick k strata from a stratified candidate set.
+
+    Deterministic path: a phase-strided subset (per-block `phase_seed`
+    varies the strata across blocks, playing the role of dilation).
+    Stochastic path: with probability epsilon pick k random strata —
+    the analog of DenseDilated's random sampling (torch_edge.py:6-29).
+    """
+    ns = strat.shape[1]
+    stride = max(ns // k, 1)
+    phase = (phase_seed * 7) % stride
+    strided = strat[:, phase::stride][:, :k]
+    if not (stochastic and train) or rng is None:
+        return strided
+    r_choice, r_perm = jax.random.split(rng)
+    perm = jax.random.permutation(r_perm, ns)[:k]
+    random_pick = strat[:, perm]
+    use_random = jax.random.uniform(r_choice, ()) < epsilon
+    return jnp.where(use_random, random_pick, strided)
 
 
 def dilate_edges(
@@ -199,25 +253,49 @@ class DenseDeepGCN(nn.Module):
         feats = [EdgeConv(cfg.n_filters, cfg.conv_type)(data, idx0)]
 
         idx_cache = None
+        strat_cache = None
         for i in range(cfg.n_blocks - 1):
             dilation = 1 + i
             h = feats[-1]
-            if idx_cache is None or i % cfg.graph_refresh_every == 0:
-                # size the graph for every block until the next refresh
-                last = min(i + cfg.graph_refresh_every - 1, cfg.n_blocks - 2)
-                k_window = cfg.kernel_size * (1 + last)
-                idx_cache = knn_graph(h, k_window, approx=cfg.knn_approx,
-                                      recall=cfg.knn_recall)
-            idx_full = idx_cache[:, : cfg.kernel_size * dilation]
+            use_strat = (
+                cfg.strat_min_dilation > 0
+                and dilation >= cfg.strat_min_dilation
+                # need at least k strata to sample from
+                and h.shape[0] >= cfg.kernel_size * cfg.stratum_width
+            )
             rng = (
                 self.make_rng("gcn")
                 if (train and cfg.stochastic and self.has_rng("gcn"))
                 else None
             )
-            idx = dilate_edges(
-                idx_full, cfg.kernel_size, dilation, cfg.stochastic,
-                cfg.epsilon, rng, train,
-            )
+            if use_strat:
+                if strat_cache is None or i % cfg.graph_refresh_every == 0:
+                    strat_cache = stratified_candidates(
+                        h, cfg.stratum_width
+                    )
+                idx = sample_strata(
+                    strat_cache, cfg.kernel_size, i, cfg.stochastic,
+                    cfg.epsilon, rng, train,
+                )
+            else:
+                if idx_cache is None or i % cfg.graph_refresh_every == 0:
+                    # size the graph for every windowed block until the
+                    # next refresh (stratified blocks don't need windows)
+                    last = min(
+                        i + cfg.graph_refresh_every - 1, cfg.n_blocks - 2
+                    )
+                    if cfg.strat_min_dilation > 0:
+                        last = min(last, cfg.strat_min_dilation - 2)
+                    k_window = cfg.kernel_size * (1 + last)
+                    idx_cache = knn_graph(
+                        h, k_window, approx=cfg.knn_approx,
+                        recall=cfg.knn_recall,
+                    )
+                idx_full = idx_cache[:, : cfg.kernel_size * dilation]
+                idx = dilate_edges(
+                    idx_full, cfg.kernel_size, dilation, cfg.stochastic,
+                    cfg.epsilon, rng, train,
+                )
             if cfg.block_type == "res":
                 feats.append(EdgeConv(cfg.n_filters, cfg.conv_type)(h, idx) + h)
             else:

@@ -66,6 +66,7 @@ class RNRModel(nn.Module):
             use_gcn=c.use_gcn,
             norm=c.render_net.norm,  # type: ignore[arg-type]
             compute_dtype=c.render_net.compute_dtype,
+            remat=c.render_net.remat,
         )
         if c.use_gcn:
             self.gcn = DenseDeepGCN(
@@ -81,6 +82,9 @@ class RNRModel(nn.Module):
                     out_channels=c.gcn.out_channels,
                     knn_approx=c.gcn.knn_approx,
                     knn_recall=c.gcn.knn_recall,
+                    graph_refresh_every=c.gcn.graph_refresh_every,
+                    strat_min_dilation=c.gcn.strat_min_dilation,
+                    stratum_width=c.gcn.stratum_width,
                 )
             )
         self.lighting = LightingSH(
@@ -113,6 +117,7 @@ class RNRModel(nn.Module):
         lp_override: jax.Array | None = None,
         train: bool = True,
         v_feature_override: jax.Array | None = None,
+        sh_coeff_override: jax.Array | None = None,
     ) -> dict[str, Any]:
         """Full forward pass.
 
@@ -123,7 +128,13 @@ class RNRModel(nn.Module):
             TBN_map [N,H,W,3,3], alpha_map [N,H,W,1],
             gcn_pos [V,3] (mesh vertices for the GCN).
           lighting_idx: which learned lighting to render under.
-          lp_override: optional [1 or N, Hl, Wl, C] probe for relighting.
+          lp_override: optional [1 or N, Hl, Wl, C] probe for relighting
+            through the probe-gather path.
+          sh_coeff_override: optional [B, C] SH coefficients for
+            relighting through the fast direct-SH path — the analog of
+            the reference's LightingLP.fit_sh -> LightingSH novel-light
+            projection (test_rnr.py:153-163).  Takes precedence over
+            lp_override.
 
         Returns dict with the rendered image and intermediates.
         """
@@ -155,8 +166,16 @@ class RNRModel(nn.Module):
         rays_dir_d, rays_uv_d, _ = self.ray_sampler_diffuse(
             batch["TBN_map"], batch["view_dir_map_tangent"], batch["alpha_map"]
         )
-        rays_dir = jnp.concatenate([rays_dir_s, rays_dir_d], axis=-1)
-        rays_uv = jnp.concatenate([rays_uv_s, rays_uv_d], axis=-1)
+        from rnr_tpu.parallel.constraints import constrain
+
+        # the [N, H, W, 3, R] ray tensors are the largest activations in
+        # the program — keep them row-sharded under a mesh
+        rays_dir = constrain(
+            jnp.concatenate([rays_dir_s, rays_dir_d], axis=-1), "dp", "sp"
+        )
+        rays_uv = constrain(
+            jnp.concatenate([rays_uv_s, rays_uv_d], axis=-1), "dp", "sp"
+        )
         r_total = rays_uv.shape[-1]
 
         net_in = jnp.concatenate(
@@ -173,15 +192,25 @@ class RNRModel(nn.Module):
         )
         lt = self.render_net(net_in, v_feature, train=train)
         rays_lt = lt.reshape(n, h, w, r_total, 3)
-        rays_lt = (rays_lt * 0.5 + 0.5) * c.rays.lt_max_val
+        rays_lt = constrain(
+            (rays_lt * 0.5 + 0.5) * c.rays.lt_max_val, "dp", "sp"
+        )
 
-        if lp_override is None and c.rays.direct_sh_shading:
+        use_sh = sh_coeff_override is not None or (
+            lp_override is None and c.rays.direct_sh_shading
+        )
+        if use_sh:
+            sh_coeff = (
+                sh_coeff_override
+                if sh_coeff_override is not None
+                else self.lighting.get_lighting_params(lighting_idx)
+            )
             rendered = ray_render_sh(
                 albedo_specular,
                 rays_dir,
                 batch["alpha_map"],
                 rays_lt,
-                self.lighting.get_lighting_params(lighting_idx),
+                sh_coeff,
                 c.lighting.sh_lmax,
                 num_ray_diffuse=self.ray_sampler_diffuse.num_ray,
                 albedo_diffuse=albedo_diffuse,

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from rnr_tpu.parallel.constraints import constrain
+
 NormKind = Literal["batch", "group", "none"]
 
 
@@ -88,9 +90,11 @@ class DownBlock(nn.Module):
     stride: int = 2
     kernel: int = 4
     dtype: jnp.dtype | None = None
+    train: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array) -> jax.Array:
+        train = self.train
         use_bias = self.norm == "none"
         if self.prep_conv:
             mid = self.middle_ch or x.shape[-1]
@@ -131,9 +135,11 @@ class UpBlock(nn.Module):
     use_dropout: bool = False
     dropout_prob: float = 0.1
     dtype: jnp.dtype | None = None
+    train: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array) -> jax.Array:
+        train = self.train
         use_bias = self.norm == "none"
         x = nn.ConvTranspose(
             self.out_ch, (4, 4), strides=(2, 2), padding="SAME",
@@ -176,11 +182,18 @@ class Unet(nn.Module):
     use_gcn: bool = True
     outermost_highway_mode: Literal["concat", "residual", "no_highway"] = "concat"
     compute_dtype: str = "float32"
+    # Rematerialize every Down/Up block in the backward pass: activations
+    # inside a block are recomputed instead of stored, cutting peak HBM by
+    # ~the number of layers per block.  Enables batch 4 at 512^2 on one
+    # v5e chip (VERDICT r1 item 3).
+    remat: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, v_fea: jax.Array | None = None, *, train: bool = True
     ) -> jax.Array:
+        Down = nn.remat(DownBlock) if self.remat else DownBlock
+        Up = nn.remat(UpBlock) if self.remat else UpBlock
         cdtype = jnp.dtype(self.compute_dtype)
         x = x.astype(cdtype)
         if v_fea is not None:
@@ -211,13 +224,18 @@ class Unet(nn.Module):
         for i in range(nd):
             skips.append(h)
             level_norm: NormKind = "none" if i == nd - 1 else self.norm
-            h = DownBlock(
+            h = Down(
                 chs[i + 1],
                 norm=level_norm,
                 use_dropout=self.use_dropout,
                 dropout_prob=self.dropout_prob,
                 dtype=cdtype,
-            )(h, train=train)
+                train=train,
+            )(h)
+            # under a device mesh, keep every level's activation
+            # (dp, sp)-sharded — batch over dp, image rows over sp —
+            # instead of letting the partitioner replicate it
+            h = constrain(h, "dp", "sp")
             if i == 0 and self.use_gcn:
                 if v_fea is None:
                     raise ValueError("use_gcn=True requires v_fea")
@@ -227,7 +245,7 @@ class Unet(nn.Module):
                 )
                 h = jnp.concatenate([h, tiled], axis=-1)
                 # stride-1 fusion conv (pytorch_prototyping.py:396)
-                h = DownBlock(
+                h = Down(
                     chs[1],
                     norm=self.norm,
                     use_dropout=self.use_dropout,
@@ -235,18 +253,21 @@ class Unet(nn.Module):
                     stride=1,
                     kernel=3,
                     dtype=cdtype,
-                )(h, train=train)
+                    train=train,
+                )(h)
 
         # decoder with per-level skip concat
         for i in reversed(range(nd)):
             level_norm = "none" if i == nd - 1 else self.norm
-            h = UpBlock(
+            h = Up(
                 chs[i],
                 norm=level_norm,
                 use_dropout=self.use_dropout,
                 dropout_prob=self.dropout_prob,
                 dtype=cdtype,
-            )(h, train=train)
+                train=train,
+            )(h)
+            h = constrain(h, "dp", "sp")
             if i == 0:
                 mode = self.outermost_highway_mode
             else:
@@ -283,6 +304,7 @@ class RenderingNet(nn.Module):
     outermost_highway_mode: str = "concat"
     norm: NormKind = "batch"
     compute_dtype: str = "float32"
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -302,5 +324,6 @@ class RenderingNet(nn.Module):
             use_gcn=self.use_gcn,
             outermost_highway_mode=self.outermost_highway_mode,  # type: ignore[arg-type]
             compute_dtype=self.compute_dtype,
+            remat=self.remat,
         )(x, v_fea, train=train)
         return jnp.tanh(y.astype(jnp.float32))

@@ -144,7 +144,8 @@ class DownsamplingNet(nn.Module):
         x = DownBlock(
             chs[0], middle_ch=chs[0], norm=self.norm,
             use_dropout=self.use_dropout, dropout_prob=self.dropout_prob,
-        )(x, train=train)
+            train=train,
+        )(x)
         for i in range(len(chs) - 1):
             norm = (
                 "none"
@@ -153,8 +154,8 @@ class DownsamplingNet(nn.Module):
             )
             x = DownBlock(
                 chs[i + 1], norm=norm, use_dropout=self.use_dropout,
-                dropout_prob=self.dropout_prob,
-            )(x, train=train)
+                dropout_prob=self.dropout_prob, train=train,
+            )(x)
         return x
 
 
@@ -175,10 +176,11 @@ class UpsamplingNet(nn.Module):
         x = UpBlock(
             chs[0], norm="none" if self.first_layer_one else self.norm,
             use_dropout=self.use_dropout, dropout_prob=self.dropout_prob,
-        )(x, train=train)
+            train=train,
+        )(x)
         for i in range(len(chs) - 1):
             x = UpBlock(
                 chs[i + 1], norm=self.norm, use_dropout=self.use_dropout,
-                dropout_prob=self.dropout_prob,
-            )(x, train=train)
+                dropout_prob=self.dropout_prob, train=train,
+            )(x)
         return x

@@ -196,6 +196,11 @@ def render_gbuffer(
         "v_uvz": v_uvz,
         "v_front_mask": v_front_mask,
     }
+    if raster.overflow is not None:
+        # [N] dropped-candidate count from the Pallas tile binning —
+        # non-zero means the raster is incomplete (raise
+        # max_faces_per_tile); drivers should surface this
+        out["raster_overflow"] = raster.overflow
 
     if with_high_maps:
         tangents = face_tangents(faces_v, faces_vt)

@@ -40,6 +40,11 @@ class RasterOutput(NamedTuple):
     weight_map: jax.Array      # [N, S, S, 3] clamped barycentrics
     depth_map: jax.Array       # [N, S, S] zp, `far` where empty
     alpha_map: jax.Array       # [N, S, S] float 0/1
+    # [N] int32 count of candidate faces dropped by tile binning
+    # (rasterize_pallas only; the XLA scan path visits every face and
+    # always reports 0).  Non-zero means max_faces_per_tile must be
+    # raised for this mesh — check it, the render is incomplete.
+    overflow: jax.Array | None = None
 
 
 def _ndc_to_pixel(xy: jax.Array, image_size: int) -> jax.Array:

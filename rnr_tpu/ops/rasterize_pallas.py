@@ -97,7 +97,11 @@ def _bin_faces(
     face_data = flat[safe]  # [T, K, 18]
     face_ids = jnp.where(valid, tile_faces, -1)
     counts = jnp.sum(valid.astype(jnp.int32), axis=1)  # [T]
-    return face_data, face_ids, counts
+    # candidates beyond the static cap are silently absent from
+    # tile_faces — count them so callers can detect an incomplete render
+    true_counts = jnp.sum(overlap.astype(jnp.int32), axis=0)  # [T]
+    overflow = jnp.sum(jnp.maximum(true_counts - max_faces_per_tile, 0))
+    return face_data, face_ids, counts, overflow
 
 
 def _raster_kernel(s, tile_h, tile_w, near, far):
@@ -180,8 +184,10 @@ def rasterize_pallas(
     """Tile-binned Pallas rasterization, drop-in for rasterize_face_index.
 
     faces: [N, F, 3, 3] NDC faces.  Faces beyond `max_faces_per_tile`
-    candidates in one tile are dropped (raise the knob for pathological
-    meshes; the default covers >2k overlapping candidates per 32x128 px).
+    candidates in one tile are dropped; the returned
+    `RasterOutput.overflow` ([N] int32) counts the drops — non-zero
+    means the render is incomplete and the knob must be raised (the
+    default covers >2k overlapping candidates per 32x128 px).
     """
     s = image_size
     if s % tile_h or s % tile_w:
@@ -193,7 +199,7 @@ def rasterize_pallas(
     kernel = _raster_kernel(s, tile_h, tile_w, near, far)
 
     def raster_one(faces_b):
-        face_data, face_ids, counts = _bin_faces(
+        face_data, face_ids, counts, overflow = _bin_faces(
             faces_b, s, tile_h, tile_w, max_faces_per_tile
         )
         face_data = face_data.reshape(n_ty, n_tx, -1, 18)
@@ -239,9 +245,9 @@ def rasterize_pallas(
             ],
             interpret=interpret,
         )(counts, face_data, face_ids)
-        return depth, idx
+        return depth, idx, overflow
 
-    depth, idx = jax.vmap(raster_one)(faces)
+    depth, idx, overflow = jax.vmap(raster_one)(faces)
 
     # winner weights, exactly like the oracle path
     safe_idx = jnp.clip(idx, 0, f - 1)
@@ -262,4 +268,5 @@ def rasterize_pallas(
         weight_map=w[:, ::-1, :, :],
         depth_map=depth[:, ::-1, :],
         alpha_map=covered[:, ::-1, :].astype(faces.dtype),
+        overflow=overflow,
     )

@@ -19,7 +19,7 @@ DCN via `jax.distributed.initialize` — no code change in the step.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, TYPE_CHECKING
 
 import numpy as np
 
@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rnr_tpu.train.steps import TrainState
+if TYPE_CHECKING:  # import only for annotations — keeps models free to
+    # import parallel.constraints without a package cycle
+    from rnr_tpu.train.steps import TrainState
 
 
 def make_mesh(
@@ -97,11 +99,15 @@ def make_sharded_rnr_train_step(
     def sharded_step(state: TrainState, batch, statics, rng):
         # jit propagates shardings from the inputs: replicated state +
         # (dp, sp)-sharded batch compile into one SPMD program whose
-        # gradient reductions are ICI all-reduces.
+        # gradient reductions are ICI all-reduces.  The abstract-mesh
+        # context activates the model-internal `constrain` calls
+        # (parallel/constraints.py) during tracing, pinning U-Net
+        # activations / GCN distance rows to the (dp, sp) layout.
         state = jax.device_put(state, rep)
         statics = jax.device_put(statics, rep)
         batch = shard_rnr_batch(batch, mesh)
-        return base_step(state, batch, statics, rng)
+        with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+            return base_step(state, batch, statics, rng)
 
     return sharded_step
 
@@ -121,7 +127,8 @@ def make_sharded_dnr_train_step(cfg, mods, tx, mesh: Mesh) -> Callable:
             k: jax.device_put(v, batch_sharding(mesh, v.ndim))
             for k, v in batch.items()
         }
-        return base_step(state, batch, rng)
+        with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+            return base_step(state, batch, rng)
 
     return sharded_step
 
@@ -138,14 +145,18 @@ def make_sharded_rnr_eval_step(model, mesh: Mesh, lighting_idx: int = 0
     rep = replicated(mesh)
 
     def sharded_eval(state, batch, lp_override=None, relight=False,
-                     v_feature=None):
+                     v_feature=None, sh_override=None):
         state = jax.device_put(state, rep)
         batch = shard_rnr_batch(batch, mesh)
         if lp_override is not None:
             lp_override = jax.device_put(lp_override, rep)
         if v_feature is not None:
             v_feature = jax.device_put(v_feature, rep)
-        return base(state, batch, lp_override=lp_override, relight=relight,
-                    v_feature=v_feature)
+        if sh_override is not None:
+            sh_override = jax.device_put(sh_override, rep)
+        with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+            return base(state, batch, lp_override=lp_override,
+                        relight=relight, v_feature=v_feature,
+                        sh_override=sh_override)
 
     return sharded_eval

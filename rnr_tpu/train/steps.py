@@ -181,6 +181,9 @@ def make_rnr_train_step(
             loss_lighting=aux["loss_lighting"],
             loss_rays_lt_chrom=aux["loss_rays_lt_chrom"],
             loss_alb=aux["loss_alb"],
+            # rendered image for tensorboard grids — stays on device
+            # unless the driver fetches it at a log boundary
+            img=aux["img"],
         )
         return new_state, metrics
 
@@ -192,7 +195,7 @@ def make_rnr_eval_step(model: RNRModel, lighting_idx: int = 0) -> Callable:
 
     @partial(jax.jit, static_argnames=("relight",))
     def step(state: TrainState, batch, lp_override=None, relight: bool = False,
-             v_feature=None):
+             v_feature=None, sh_override=None):
         variables = {
             "params": state.params,
             "constants": state.constants,
@@ -203,6 +206,9 @@ def make_rnr_eval_step(model: RNRModel, lighting_idx: int = 0) -> Callable:
             batch,
             lighting_idx=lighting_idx,
             lp_override=lp_override if relight else None,
+            # novel-light SH projection (reference test_rnr.py:153-163):
+            # relight through the fast direct-SH shading path
+            sh_coeff_override=sh_override if relight else None,
             train=False,
             mutable=["spectral"],
             v_feature_override=v_feature,

@@ -62,6 +62,19 @@ def make_uv_sphere(path, n_lat=8, n_lon=12, radius=0.5):
 def make_scene(root, num_view=6, hw=64):
     os.makedirs(os.path.join(root, "rgb0"), exist_ok=True)
     os.makedirs(os.path.join(root, "rgb1"), exist_ok=True)
+    # light probes (one per lighting) -> exercises LightingLP fit + the
+    # lighting-estimation observability channel
+    os.makedirs(os.path.join(root, "lp"), exist_ok=True)
+    for li in range(2):
+        yy = np.linspace(0, 1, 32)[:, None, None]
+        probe = (
+            np.stack([yy * (li + 1) % 1.0] * 3, -1)[..., 0, :]
+            * np.ones((32, 64, 3))
+        )
+        cv2.imwrite(
+            os.path.join(root, "lp", f"{li}.png"),
+            (probe * 255).astype(np.uint8),
+        )
     make_uv_sphere(os.path.join(root, "mesh.obj"))
     poses = np.zeros((num_view, 4, 4))
     projs = np.zeros((num_view, 3, 3))
@@ -169,7 +182,9 @@ def trained_rnr(precomputed, stitched):
             "--out_channels_gcn", "16", "--sh_lmax", "2",
             "--sphere_samples_fp", "nonexistent.mat",
             "--lighting_idx", "0", "--lighting_relight_idx", "1",
+            "--lp_dir", "_/lp",
             "--max_iter", "4", "--val_freq", "3", "--ckp_freq", "100",
+            "--log_freq", "2",
             "--sampling_pattern", "all", "--sampling_pattern_val", "only_0",
         ]
     )
@@ -185,9 +200,36 @@ def test_train_rnr_artifacts(trained_rnr):
         summary = json.load(f)
     assert summary["iters"] == 4
     assert np.isfinite(summary["last_loss"])
-    # validation wrote view-synthesis and relighting images
-    assert os.listdir(os.path.join(trained_rnr, "val_out"))
-    assert os.listdir(os.path.join(trained_rnr, "val_relight_out"))
+    # validation wrote view-synthesis and relighting images, ground truth
+    # and error maps (reference train_rnr.py:843-853)
+    for sub in ("val_out", "val_err", "val_gt", "val_relight_out",
+                "val_relight_err", "val_relight_gt"):
+        assert os.listdir(os.path.join(trained_rnr, sub)), sub
+    # tensorboard event file with scalars + image grids was written
+    events = [f for f in os.listdir(trained_rnr)
+              if f.startswith("events.out.tfevents")]
+    assert events, "no tensorboard event file"
+    # lighting-estimation observability: probe GT existed (lp_dir), so
+    # lighting_sh_coeff_mae / lp_psnr_valid scalars must be present
+    tags = set()
+    for ev in events:
+        try:
+            from tensorboard.backend.event_processing import (
+                event_accumulator,
+            )
+            acc = event_accumulator.EventAccumulator(
+                os.path.join(trained_rnr, ev)
+            )
+            acc.Reload()
+            tags |= set(acc.Tags().get("scalars", []))
+            tags |= set(acc.Tags().get("images", []))
+        except ImportError:
+            pytest.skip("tensorboard reader unavailable")
+    assert "lighting_sh_coeff_mae" in tags, tags
+    assert "lp_psnr_valid" in tags
+    assert "final_ssim_valid_val" in tags
+    assert "output_final_vs_gt" in tags
+    assert "lp_init_est_gt" in tags
 
 
 def test_test_rnr_inference(precomputed, trained_rnr):
@@ -213,6 +255,36 @@ def test_test_rnr_inference(precomputed, trained_rnr):
     img = cv2.imread(os.path.join(out_dir, "learned0", "000002.png"))
     assert img is not None and img.shape == (64, 64, 3)
     assert img.max() > 0  # something rendered
+
+
+def test_test_rnr_novel_light_sh_vs_probe(precomputed, trained_rnr):
+    """Novel-probe relighting: the SH-projected fast path (reference
+    test_rnr.py:153-163) agrees with the raw probe-gather path."""
+    from rnr_tpu.drivers import test_rnr
+
+    outs = {}
+    for mode in ("true", "false"):
+        out_dir = os.path.join(trained_rnr, f"render_lp_sh_{mode}")
+        test_rnr.main(
+            [
+                "--data_root", precomputed,
+                "--checkpoint_dir", trained_rnr,
+                "--obj_high_fp", "_/mesh.obj", "--obj_gcn_fp", "_/mesh.obj",
+                "--img_size", "64",
+                "--sampling_pattern", "only_2",
+                "--lp_dir", "_/lp", "--lp_sh", mode,
+                "--sphere_samples_fp", "nonexistent.mat",
+                "--out_dir", out_dir,
+                "--per_stage_timing", "1" if mode == "true" else "0",
+            ]
+        )
+        img = cv2.imread(os.path.join(out_dir, "novel00", "000002.png"))
+        assert img is not None and img.max() > 0
+        outs[mode] = img.astype(np.float32) / 255.0
+    # SH lmax-2 projection of a smooth probe vs raw gather: same render
+    # to low-order-fit tolerance
+    diff = np.abs(outs["true"] - outs["false"]).mean()
+    assert diff < 0.05, diff
 
 
 @pytest.fixture(scope="module")

