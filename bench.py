@@ -96,21 +96,49 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     fps = steps * batch_n / dt
-    baseline_fps = 1.0  # nominal anchor; reference publishes no numbers
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"rnr_train_{img_size}x{img_size}"
-                    + (f"_b{batch_n}" if batch_n != 1 else "")
-                    + "_frames_per_s_per_chip_fwdbwd"
-                ),
-                "value": round(fps, 4),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / baseline_fps, 4),
-            }
-        )
+    # rays/s: every covered pixel shades num_azi*num_polar+1 specular +
+    # the same diffuse rays (BASELINE.md scaling metric)
+    rays_per_frame = (
+        float(jnp.sum(batch["alpha_map"][0]))
+        * 2 * (6 * 2 + 1)
     )
+
+    # inference benchmark (spiral-sequence analog: same G-buffer shapes,
+    # eval step only — BASELINE.md "per-stage inference wall-clock")
+    infer_fps = None
+    if int(os.environ.get("BENCH_INFER", 1)):
+        from rnr_tpu.train.steps import make_rnr_eval_step
+
+        eval_step = make_rnr_eval_step(model)
+        out = eval_step(state, batch)
+        float(jnp.sum(out["img"][0, 0, 0]))  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = eval_step(state, batch)
+        float(jnp.sum(out["img"][0, 0, 0]))
+        infer_fps = steps * batch_n / (time.perf_counter() - t0)
+
+    baseline_fps = 1.0  # nominal anchor; reference publishes no numbers
+    result = {
+        "metric": (
+            f"rnr_train_{img_size}x{img_size}"
+            + (f"_b{batch_n}" if batch_n != 1 else "")
+            + "_frames_per_s_per_chip_fwdbwd"
+        ),
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 4),
+        "extras": {
+            "train_rays_per_s": round(fps * rays_per_frame),
+            "infer_frames_per_s": (
+                round(infer_fps, 4) if infer_fps else None
+            ),
+            "infer_rays_per_s": (
+                round(infer_fps * rays_per_frame) if infer_fps else None
+            ),
+        },
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

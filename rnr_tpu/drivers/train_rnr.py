@@ -547,6 +547,7 @@ def main(argv=None) -> None:
     it = opt.start_epoch * len(train_views)
     history = []
     ran_val = False
+    last_val = None
     for epoch in range(opt.start_epoch, opt.max_epoch):
         order = order_rng.permutation(len(train_views))
 
@@ -559,7 +560,8 @@ def main(argv=None) -> None:
         # host-side batch assembly overlaps device execution
         for batch in prefetch(epoch_batches(), depth=2):
             if opt.max_iter is not None and it >= opt.max_iter:
-                _final(log_dir, state, history, it, write=main_proc)
+                _final(log_dir, state, history, it, write=main_proc,
+                       val_metrics=last_val)
                 return
             t0 = time.time()
             key, sub = jax.random.split(key)
@@ -651,7 +653,7 @@ def main(argv=None) -> None:
                     )
 
             if it and it % opt.val_freq == 0:
-                _validate(
+                last_val = _validate(
                     eval_step, state, val_views, relight_views, gcn_pos, bs,
                     log_dir, it, writer, lp_relight_arr,
                     first_val=not ran_val, write_images=main_proc,
@@ -662,7 +664,8 @@ def main(argv=None) -> None:
                 save_checkpoint(
                     os.path.join(log_dir, f"model_iter-{it}.ckpt"), state
                 )
-    _final(log_dir, state, history, it, write=main_proc)
+    _final(log_dir, state, history, it, write=main_proc,
+           val_metrics=last_val)
 
 
 def _validate(eval_step, state, val_views, relight_views, gcn_pos, bs,
@@ -752,6 +755,8 @@ def _validate(eval_step, state, val_views, relight_views, gcn_pos, bs,
                     [np.clip(img_r[i], 0, 1) for i in range(bs)], axis=0
                 )
 
+    summary = {}
+
     def report(tag, acc, prefix):
         if not acc:
             return
@@ -760,6 +765,7 @@ def _validate(eval_step, state, val_views, relight_views, gcn_pos, bs,
             f"Val{tag} @ {it}: mae {means['mae_valid']:.4f} "
             f"psnr {means['psnr_valid']:.4f} ssim {means['ssim_valid']:.4f}"
         )
+        summary.update({prefix + k: v for k, v in means.items()})
         if writer:
             for k in ("mae_valid", "psnr_valid", "ssim_valid", "mae_bb",
                       "psnr_bb", "ssim_bb", "mse_valid"):
@@ -771,9 +777,11 @@ def _validate(eval_step, state, val_views, relight_views, gcn_pos, bs,
     if writer and relight_grid is not None:
         writer.add_image("relight_final_est_gt", relight_grid, it,
                          dataformats="HWC")
+    return summary
 
 
-def _final(log_dir, state, history, total_iters=None, write=True):
+def _final(log_dir, state, history, total_iters=None, write=True,
+           val_metrics=None):
     from rnr_tpu.train import save_checkpoint
 
     summary = {
@@ -781,6 +789,8 @@ def _final(log_dir, state, history, total_iters=None, write=True):
         "last_loss": history[-1] if history else None,
         "iters": total_iters if total_iters is not None else len(history),
     }
+    if val_metrics:
+        summary["val"] = val_metrics
     if write:
         save_checkpoint(os.path.join(log_dir, "model_final.ckpt"), state)
         with open(os.path.join(log_dir, "summary.json"), "w") as f:

@@ -142,6 +142,66 @@ def main():
     t = timeit(rr_grad, alb, rays_uv, rays_lt, lp, steps=args.steps)
     print(f"ray_render_backward    {t * 1e3:9.1f} ms")
 
+    # --- direct-SH shading (the actual training path) ---
+    from rnr_tpu.models.rays import ray_render_sh
+
+    coeff = jax.random.uniform(key, (121, 3))
+    rays_dir_full = jnp.concatenate([rays_dir, rays_dir], axis=-1)
+    rays_lt_full = jax.random.uniform(key, (n, h, w, 2 * rs.num_ray, 3))
+    sh_fn = jax.jit(
+        lambda a, d, al, lt, c: ray_render_sh(
+            a, d, al, lt, c, 10, num_ray_diffuse=rs.num_ray,
+            albedo_diffuse=a, separate_albedo=True,
+        )["out"]
+    )
+    t = timeit(sh_fn, alb, rays_dir_full, batch["alpha_map"],
+               rays_lt_full, coeff, steps=args.steps)
+    print(f"ray_render_sh_fwd      {t * 1e3:9.1f} ms")
+    sh_grad = jax.jit(
+        jax.grad(
+            lambda a, d, al, lt, c: jnp.sum(
+                ray_render_sh(a, d, al, lt, c, 10,
+                              num_ray_diffuse=rs.num_ray,
+                              albedo_diffuse=a,
+                              separate_albedo=True)["out"] ** 2
+            ),
+            argnums=(0, 3, 4),
+        )
+    )
+    t = timeit(sh_grad, alb, rays_dir_full, batch["alpha_map"],
+               rays_lt_full, coeff, steps=args.steps)
+    print(f"ray_render_sh_bwd      {t * 1e3:9.1f} ms")
+
+    # --- U-Net (rendering net) fwd/bwd ---
+    rn_in = jax.random.uniform(
+        key, (n, h, w, cfg.render_net_in_channels), jnp.float32
+    )
+    v_fea = jax.random.uniform(key, (n, 512))
+    rn_fn = jax.jit(
+        lambda v, x, f: model.apply(
+            v, x, f,
+            method=lambda m, x_, f_: m.render_net(x_, f_, train=False),
+        )
+    )
+    rn_vars = {"params": state.params, "constants": state.constants,
+               "spectral": state.spectral}
+    t = timeit(rn_fn, rn_vars, rn_in, v_fea, steps=args.steps)
+    print(f"unet_forward           {t * 1e3:9.1f} ms")
+    rn_grad = jax.jit(
+        jax.grad(
+            lambda v, x, f: jnp.sum(
+                model.apply(
+                    v, x, f,
+                    method=lambda m, x_, f_: m.render_net(
+                        x_, f_, train=False
+                    ),
+                ) ** 2
+            )
+        )
+    )
+    t = timeit(rn_grad, rn_vars, rn_in, v_fea, steps=args.steps)
+    print(f"unet_fwd+bwd           {t * 1e3:9.1f} ms")
+
     # --- full forward / train step ---
     fwd = jax.jit(
         lambda v, b: model.apply(v, b, lighting_idx=0, train=False,

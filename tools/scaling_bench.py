@@ -1,0 +1,116 @@
+"""Scaling harness: rays/s vs device count over a (dp, sp) mesh.
+
+BASELINE.md north star: >=85% rays/s scaling efficiency to N>=2 devices.
+Runs the full sharded RNR train step at each mesh size and reports
+rays/s and efficiency vs the single-device run.
+
+On real multi-chip hardware this measures true scaling.  Without it
+(--virtual, the default off-TPU) the mesh is N virtual CPU devices that
+share one host's cores — the numbers then validate the *sharding path*
+(compile + execute + collectives), not hardware scaling; efficiency is
+indicative only.
+
+Usage:
+  python tools/scaling_bench.py [--devices 1,2,4,8] [--img 64] [--steps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=str, default="1,2,4,8")
+    p.add_argument("--img", type=int, default=64)
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--virtual", default=True,
+                   type=lambda x: str(x).lower() in ["true", "1"],
+                   help="force an 8-device virtual CPU platform")
+    opt = p.parse_args()
+    counts = [int(c) for c in opt.devices.split(",")]
+
+    import jax
+
+    if opt.virtual:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", max(counts))
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build
+    from rnr_tpu.parallel import make_mesh, make_sharded_rnr_train_step
+    from rnr_tpu.train import create_rnr_state
+    from rnr_tpu.train.steps import rnr_texture_flatten_init
+
+    results = []
+    for n in counts:
+        if n > len(jax.devices()):
+            print(f"skip n={n}: only {len(jax.devices())} devices")
+            continue
+        dp = opt.dp if n % opt.dp == 0 else 1
+        cfg, model, batch = _build(
+            img_size=opt.img, tex_size=64, lmax=2, num_sample=128,
+            nf0=16, num_down=4, gcn_blocks=4, gcn_v=1024,
+            num_azi=6, num_polar=2, batch=dp,
+        )
+        state, tx = create_rnr_state(
+            model, jax.random.PRNGKey(0), batch, cfg.train.lr
+        )
+        rng = np.random.default_rng(1)
+        statics = {
+            "l_samples_init": jnp.asarray(
+                rng.uniform(0, 1, (128, 3)).astype(np.float32)
+            ),
+            "l_samples_mask": jnp.asarray(
+                (rng.uniform(size=128) > 0.3).astype(np.float32)
+            ),
+            "tex_flatten_init": rnr_texture_flatten_init(
+                model, state.params
+            ),
+        }
+        if n == 1:
+            from rnr_tpu.train.steps import make_rnr_train_step
+
+            step = make_rnr_train_step(model, tx)
+        else:
+            mesh = make_mesh(n, dp=dp)
+            step = make_sharded_rnr_train_step(model, tx, mesh)
+        key = jax.random.PRNGKey(2)
+        s, m = step(state, batch, statics, key)
+        float(m["loss"])  # compile + sync (scalar fetch, not block_until)
+        t0 = time.perf_counter()
+        s2 = state
+        for _ in range(opt.steps):
+            key, sub = jax.random.split(key)
+            s2, m = step(s2, batch, statics, sub)
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        rays = (
+            float(jnp.sum(batch["alpha_map"][0])) * 2 * (6 * 2 + 1) * dp
+        )
+        rps = rays * opt.steps / dt
+        results.append({"devices": n, "rays_per_s": round(rps)})
+        print(f"n={n}: {dt / opt.steps * 1e3:.1f} ms/step, "
+              f"{rps:,.0f} rays/s")
+
+    if results:
+        base = results[0]["rays_per_s"] / results[0]["devices"]
+        for r in results:
+            r["efficiency"] = round(
+                r["rays_per_s"] / (base * r["devices"]), 3
+            )
+        print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
