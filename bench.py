@@ -118,6 +118,37 @@ def main() -> None:
         float(jnp.sum(out["img"][0, 0, 0]))
         infer_fps = steps * batch_n / (time.perf_counter() - t0)
 
+    # batch-2 training throughput (GCN + fixed overheads amortize across
+    # frames; 4.2 fps/chip vs 3.6 at batch 1 on v5e) — reported alongside
+    # the canonical batch-1 series
+    b2_fps = None
+    if batch_n == 1 and int(os.environ.get("BENCH_B2", 1)):
+        cfg2, model2, batch2 = _build(
+            img_size=img_size, tex_size=512, lmax=10, num_sample=4096,
+            nf0=64, num_down=5, gcn_blocks=gcn_blocks, gcn_v=gcn_v,
+            num_azi=6, num_polar=2, batch=2, remat=remat,
+        )
+        state2, tx2 = create_rnr_state(
+            model2, jax.random.PRNGKey(0), batch2, cfg2.train.lr
+        )
+        statics2 = dict(
+            statics,
+            tex_flatten_init=rnr_texture_flatten_init(
+                model2, state2.params
+            ),
+        )
+        step2 = make_rnr_train_step(model2, tx2)
+        for _ in range(2):
+            rng, sub = jax.random.split(rng)
+            state2, m2 = step2(state2, batch2, statics2, sub)
+        float(m2["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            rng, sub = jax.random.split(rng)
+            state2, m2 = step2(state2, batch2, statics2, sub)
+        float(m2["loss"])
+        b2_fps = steps * 2 / (time.perf_counter() - t0)
+
     baseline_fps = 1.0  # nominal anchor; reference publishes no numbers
     result = {
         "metric": (
@@ -130,6 +161,9 @@ def main() -> None:
         "vs_baseline": round(fps / baseline_fps, 4),
         "extras": {
             "train_rays_per_s": round(fps * rays_per_frame),
+            "train_b2_frames_per_s": (
+                round(b2_fps, 4) if b2_fps else None
+            ),
             "infer_frames_per_s": (
                 round(infer_fps, 4) if infer_fps else None
             ),

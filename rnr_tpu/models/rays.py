@@ -271,9 +271,13 @@ def ray_render_sh(
         return jnp.einsum("nhwb,bc->nhwc", basis, coeff)
 
     # lax.map over the (static, small) ray axis keeps peak memory at one
-    # [N, H, W, B] block.
+    # [N, H, W, B] block.  jax.checkpoint: without it the scan's VJP
+    # stores every ray's basis tensor as a residual — R x [N, H, W, 121]
+    # f32 is ~3.3 GB/frame at 512^2, the dominant HBM blowup of the whole
+    # step (and the batch-4 OOM).  Recomputing the basis in backward is
+    # nearly free: its VJP needs the basis anyway to form basis^T . g.
     rays_color = jax.lax.map(
-        shade_one, jnp.arange(r_total)
+        jax.checkpoint(shade_one), jnp.arange(r_total)
     )                                                     # [R, N, H, W, C]
     rays_color = jnp.moveaxis(rays_color, 0, -2)          # [N, H, W, R, C]
     rays_color = rays_color * alpha_map[..., None, :]

@@ -57,6 +57,33 @@ def _taps(x: jax.Array, y: jax.Array, h: int, w: int):
     return x0, x1, y0, y1, wx0, wx1, wy0, wy1
 
 
+def _tap_overlap(x, y, h, w, tile_r, tile_c):
+    """Exact (chunk, tile) overlap matrix from per-tap tile membership.
+
+    A bbox test sprays boundary chunks across every tile between their
+    real footprint and the corner texel that invalid/uncovered pixels
+    clamp to (G-buffer uv is 0 outside coverage); testing the 4 actual
+    tap texels per pixel bins each chunk into only the tiles it truly
+    writes/reads.  Returns [n_chunks, T] bool.
+    """
+    n_chunks = x.shape[0]
+    valid = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
+    n_tr = h // tile_r
+    n_tc = w // tile_c
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    overlap = jnp.zeros((n_chunks, n_tr * n_tc), bool)
+    for yy, xx in ((y0, x0), (y0, x1), (y1, x0), (y1, x1)):
+        t = (yy // tile_r) * n_tc + xx // tile_c  # [n_chunks, CP]
+        onehot = (
+            t[:, :, None] == jnp.arange(n_tr * n_tc)[None, None, :]
+        ) & valid[:, :, None]
+        overlap |= jnp.any(onehot, axis=1)
+    return overlap
+
+
 def _bin_chunks(
     x: jax.Array,
     y: jax.Array,
@@ -66,37 +93,13 @@ def _bin_chunks(
     tile_c: int,
     max_chunks_per_tile: int,
 ):
-    """Assign pixel chunks to texture tiles by valid-tap bounding box.
+    """Assign pixel chunks to texture tiles by exact tap membership.
 
     x, y: [n_chunks, CP] texel coordinates.
     Returns (ids [T, M] int32 chunk indices 0-padded, counts [T] int32,
     overflow int32 = number of (tile, chunk) pairs beyond the cap).
     """
-    n_chunks = x.shape[0]
-    valid = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
-    big = jnp.float32(1e9)
-    xv0 = jnp.where(valid, jnp.floor(x), big)
-    yv0 = jnp.where(valid, jnp.floor(y), big)
-    xmin = jnp.min(xv0, axis=1)
-    ymin = jnp.min(yv0, axis=1)
-    xmax = jnp.max(jnp.where(valid, jnp.floor(x) + 1, -big), axis=1)
-    ymax = jnp.max(jnp.where(valid, jnp.floor(y) + 1, -big), axis=1)
-    any_valid = jnp.any(valid, axis=1)
-
-    n_tr = h // tile_r
-    n_tc = w // tile_c
-    tc0 = jnp.clip(xmin.astype(jnp.int32) // tile_c, 0, n_tc - 1)
-    tc1 = jnp.clip(xmax.astype(jnp.int32) // tile_c, 0, n_tc - 1)
-    tr0 = jnp.clip(ymin.astype(jnp.int32) // tile_r, 0, n_tr - 1)
-    tr1 = jnp.clip(ymax.astype(jnp.int32) // tile_r, 0, n_tr - 1)
-
-    ids_r = jnp.arange(n_tr)[None, :]
-    ids_c = jnp.arange(n_tc)[None, :]
-    in_r = (tr0[:, None] <= ids_r) & (ids_r <= tr1[:, None])
-    in_c = (tc0[:, None] <= ids_c) & (ids_c <= tc1[:, None])
-    overlap = (
-        in_r[:, :, None] & in_c[:, None, :] & any_valid[:, None, None]
-    ).reshape(n_chunks, n_tr * n_tc)
+    overlap = _tap_overlap(x, y, h, w, tile_r, tile_c)
 
     def per_tile(col):
         idx = jnp.nonzero(col, size=max_chunks_per_tile, fill_value=0)[0]
@@ -258,6 +261,186 @@ def scatter_taps(
     return dt, overflow
 
 
+def _gather_kernel(tile_r, tile_c, ch, chunk_px, h, w, sub_px=256):
+    n_tc = w // tile_c
+    sub_px = min(sub_px, chunk_px)
+
+    def kernel(tids_ref, counts_ref, xy_ref, tex_ref, out_ref, acc_ref):
+        cnk = pl.program_id(0)
+        k = pl.program_id(1)
+        n_k = pl.num_programs(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+        @pl.when(k < counts_ref[cnk])
+        def _():
+            t = tids_ref[cnk, k]
+            row0 = (t // n_tc) * tile_r
+            col0 = (t % n_tc) * tile_c
+            for s in range(chunk_px // sub_px):
+                sl = slice(s * sub_px, (s + 1) * sub_px)
+                xk = xy_ref[0, 0, sl]  # [sub_px]
+                yk = xy_ref[0, 1, sl]
+                x0, x1, y0, y1, wx0, wx1, wy0, wy1 = _taps(xk, yk, h, w)
+                # A [TR, sub_px]: row one-hots weighted by wy — taps whose
+                # row falls outside this tile simply never match the iota
+                r_ids = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_r, sub_px), 0
+                ) + row0
+                a = (
+                    jnp.where(r_ids == y0[None, :], wy0[None, :], 0.0)
+                    + jnp.where(r_ids == y1[None, :], wy1[None, :], 0.0)
+                ).astype(jnp.bfloat16)
+                # tmp[c*Ch+ch, p] = sum_r T_tile[c*Ch+ch, r] A[r, p]
+                tmp = jax.lax.dot(
+                    tex_ref[0], a, preferred_element_type=jnp.float32
+                )  # [TC*Ch, sub_px]
+                c_ids = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (tile_c * ch, sub_px), 0
+                    )
+                    // ch
+                    + col0
+                )
+                colw = jnp.where(
+                    c_ids == x0[None, :], wx0[None, :], 0.0
+                ) + jnp.where(c_ids == x1[None, :], wx1[None, :], 0.0)
+                prod = (tmp * colw).reshape(tile_c, ch, sub_px)
+                acc_ref[:, sl] += jnp.sum(prod, axis=0)
+
+        @pl.when(k == n_k - 1)
+        def _():
+            out_ref[0] = acc_ref[:, :]
+
+    return kernel
+
+
+def _bin_tiles_per_chunk(
+    x: jax.Array,
+    y: jax.Array,
+    h: int,
+    w: int,
+    tile_r: int,
+    tile_c: int,
+    max_tiles_per_chunk: int,
+):
+    """Inverse binning of `_bin_chunks`: per pixel chunk, the list of
+    texture tiles its valid-tap bbox overlaps.
+
+    Returns (tile_ids [n_chunks, K] int32 0-padded, counts [n_chunks],
+    overflow int32).
+    """
+    overlap = _tap_overlap(x, y, h, w, tile_r, tile_c)
+
+    def per_chunk(row):
+        return jnp.nonzero(row, size=max_tiles_per_chunk, fill_value=0)[
+            0
+        ].astype(jnp.int32)
+
+    tids = jax.vmap(per_chunk)(overlap)  # [n_chunks, K]
+    true_counts = jnp.sum(overlap.astype(jnp.int32), axis=1)
+    counts = jnp.minimum(true_counts, max_tiles_per_chunk)
+    overflow = jnp.sum(true_counts - counts)
+    return tids, counts, overflow
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "tile_r", "tile_c", "max_tiles_per_chunk", "interpret"
+    ),
+)
+def gather_taps(
+    x: jax.Array,
+    y: jax.Array,
+    tex: jax.Array,
+    tile_r: int = 128,
+    tile_c: int = 128,
+    max_tiles_per_chunk: int = 16,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Bilinear gather from a [h, w, Ch] grid — the forward mirror of
+    `scatter_taps`, replacing TPU element gathers (which crawl at a few
+    GB/s on scattered index patterns) with per-tile MXU matmuls.
+
+    out[p, ch] = sum_{r, c} wy[p, r] wx[p, c] tex[r, c, ch], identical tap
+    semantics to `interpolate_bilinear`.
+
+    Args:
+      x, y: [n_chunks, CP] texel coordinates (spatially-blocked chunks).
+      tex: [h, w, Ch].
+
+    Returns (out [n_chunks, Ch, CP] float32, overflow int32 — chunks
+    whose tile list exceeded `max_tiles_per_chunk`; when nonzero the
+    caller must fall back to the XLA gather).
+    """
+    n_chunks, chunk_px = x.shape
+    h, w, ch = tex.shape
+    tile_r = min(tile_r, h)
+    tile_c = min(tile_c, w)
+    if h % tile_r or w % tile_c:
+        raise ValueError(f"texture {h}x{w} not divisible by tile")
+    n_tr, n_tc = h // tile_r, w // tile_c
+    k_cap = min(max_tiles_per_chunk, n_tr * n_tc)
+
+    tids, counts, overflow = _bin_tiles_per_chunk(
+        x, y, h, w, tile_r, tile_c, k_cap
+    )
+    xy = jnp.stack([x, y], axis=1)  # [n_chunks, 2, CP]
+    # tile layout [T, TC*Ch, TR] — the transpose of the texel grid that
+    # makes the row contraction a plain matmul (same layout the scatter
+    # kernel accumulates into)
+    t_tiles = (
+        tex.reshape(n_tr, tile_r, n_tc, tile_c, ch)
+        .transpose(0, 2, 3, 4, 1)
+        .reshape(n_tr * n_tc, tile_c * ch, tile_r)
+        .astype(jnp.bfloat16)
+    )
+
+    kernel = _gather_kernel(tile_r, tile_c, ch, chunk_px, h, w)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tids, counts
+        grid=(n_chunks, k_cap),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 2, chunk_px),
+                lambda c, k, tids, counts: (c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_c * ch, tile_r),
+                lambda c, k, tids, counts: (tids[c, k], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ch, chunk_px),
+            lambda c, k, tids, counts: (c, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((ch, chunk_px), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, ch, chunk_px), jnp.float32
+        ),
+        interpret=interpret,
+    )(tids, counts, xy, t_tiles)
+    return out, overflow
+
+
+def _xla_gather_taps(x, y, tex):
+    """XLA fallback with identical semantics/shape to `gather_taps`."""
+    from rnr_tpu.ops.interpolate import interpolate_bilinear
+
+    out = interpolate_bilinear(tex, x, y)  # [n_chunks, CP, Ch]
+    return jnp.transpose(out, (0, 2, 1)).astype(jnp.float32)
+
+
 def _chunk_coords(x: jax.Array, y: jax.Array, block: int = 32):
     """Rearrange [N, H, W] pixel grids into spatially-blocked chunks.
 
@@ -321,12 +504,15 @@ def _level_coords(uv_map: jax.Array, size: int):
 def mipmap_sample(textures, uv_map, interpret=False):
     """Sum of bilinear samples of every mipmap level at uv.
 
-    Forward matches `models/texture.py::TextureMapper`'s level loop; the
-    backward texture gradient runs through the Pallas scatter kernel
-    (`scatter_taps`), falling back to XLA scatter for any level whose
-    tile binning overflowed.  uv_map receives zero gradient — the G-buffer
-    uv is data in every training path (SURVEY §3.2: gradients flow to
-    textures, never to uv).
+    Forward semantics match `models/texture.py::TextureMapper`'s level
+    loop, computed by the Pallas `gather_taps` matmul-gather (TPU element
+    gathers run at single-digit GB/s on scattered uv patterns; the
+    per-tile MXU formulation is pattern-robust), falling back to the XLA
+    gather for any level whose tile binning overflowed.  The backward
+    texture gradient runs through the Pallas scatter kernel
+    (`scatter_taps`) with the same fallback.  uv_map receives zero
+    gradient — the G-buffer uv is data in every training path
+    (SURVEY §3.2: gradients flow to textures, never to uv).
 
     Args:
       textures: tuple of [S_l, S_l, Ch] level arrays (level 0 largest).
@@ -334,12 +520,20 @@ def mipmap_sample(textures, uv_map, interpret=False):
 
     Returns: [N, H, W, Ch].
     """
-    from rnr_tpu.ops.interpolate import interpolate_bilinear
-
+    n, hh, ww = uv_map.shape[:3]
     out = None
     for tex in textures:
         xl, yl = _level_coords(uv_map, tex.shape[0])
-        s = interpolate_bilinear(tex, xl, yl)
+        xc, yc = _chunk_coords(xl, yl, block=32)
+        g_out, ovf = gather_taps(xc, yc, tex, interpret=interpret)
+        s_c = jax.lax.cond(
+            ovf > 0,
+            lambda: _xla_gather_taps(xc, yc, tex),
+            lambda: g_out,
+        )
+        s = _unchunk_values(
+            jnp.transpose(s_c, (0, 2, 1)), n, hh, ww
+        ).astype(tex.dtype)
         out = s if out is None else out + s
     return out
 

@@ -97,12 +97,18 @@ class TestMipmapSample:
             out = s if out is None else out + s
         return jnp.sum(out * tgt)
 
-    def test_forward_exact_and_grads_close(self):
+    def test_forward_and_grads_close(self):
+        # forward runs the Pallas matmul-gather in bf16 compute (same
+        # mixed-precision class as the scatter backward / bf16 U-Net);
+        # both sides are compared at that tolerance
         rng = np.random.default_rng(3)
         texs, uv, tgt = self._setup(rng, [64, 32, 16, 8])
         f_p = lambda tx: jnp.sum(mipmap_sample(tx, uv, True) * tgt)
         f_r = lambda tx: self._loss_ref(tx, uv, tgt)
-        assert float(abs(f_p(texs) - f_r(texs))) < 1e-3
+        rel = float(abs(f_p(texs) - f_r(texs))) / (
+            float(abs(f_r(texs))) + 1e-6
+        )
+        assert rel < 2e-2, rel
         g_p = jax.grad(f_p)(texs)
         g_r = jax.grad(f_r)(texs)
         for a, b in zip(g_p, g_r):
