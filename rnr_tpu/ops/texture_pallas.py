@@ -188,7 +188,7 @@ def scatter_taps(
     w: int,
     tile_r: int = 128,
     tile_c: int = 128,
-    max_chunks_per_tile: int = 96,
+    max_chunks_per_tile: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Bilinear scatter-add of per-pixel gradients into a [h, w, Ch] grid.
@@ -197,6 +197,13 @@ def scatter_taps(
       x, y: [n_chunks, CP] texel coordinates (CP pixels per chunk; chunk
         membership should be spatially coherent for binning to pay off).
       g: [n_chunks, CP, Ch] per-pixel gradient vectors.
+      max_chunks_per_tile: static cap on the per-tile chunk list.  The
+        default (None = n_chunks) can never overflow — essential because
+        real G-buffers clamp every uncovered pixel's uv to one corner
+        texel, concentrating half the chunks on one tile; a small cap
+        silently demoted every level to the slow XLA scatter fallback.
+        Grid cells beyond a tile's true count are skipped via the
+        dynamic count, so the large cap costs only block prefetches.
 
     Returns:
       (dT [h, w, Ch] float32, overflow int32).  `overflow` counts
@@ -211,7 +218,7 @@ def scatter_taps(
     if h % tile_r or w % tile_c:
         raise ValueError(f"texture {h}x{w} not divisible by tile")
     n_tiles = (h // tile_r) * (w // tile_c)
-    m_cap = min(max_chunks_per_tile, n_chunks)
+    m_cap = min(max_chunks_per_tile or n_chunks, n_chunks)
 
     ids, counts, overflow = _bin_chunks(
         x, y, h, w, tile_r, tile_c, m_cap

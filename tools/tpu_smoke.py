@@ -4,7 +4,10 @@ The TPU tunnel serves one client at a time and wedges after kills, so all
 hardware checks batch here:
   1. Pallas vs XLA rasterizer parity + timing on a real sphere mesh.
   2. Full G-buffer rendering (Pallas path) timing.
-  3. A few RNR train steps (sanity: finite, decreasing-ish).
+  3. Texture gather/scatter Pallas kernels vs XLA oracles ON DEVICE
+     (interpret-mode CPU tests cover semantics; this gate catches
+     Mosaic lowering divergence).
+  4. Stratified-kNN Pallas kernel vs its XLA oracle on device.
 
 Usage: python tools/tpu_smoke.py
 """
@@ -130,6 +133,45 @@ def main():
     alpha = np.asarray(gb["alpha_map"])
     print(f"gbuffer alpha coverage  {alpha.mean():7.3f}  "
           f"finite: {all(np.isfinite(np.asarray(x)).all() for x in gb.values())}")
+
+    # --- 3. texture kernels on device ---------------------------------
+    from rnr_tpu.ops.texture_pallas import (
+        _chunk_coords, _chunk_values, _level_coords, _xla_gather_taps,
+        _xla_scatter_taps, gather_taps, scatter_taps,
+    )
+
+    rng = np.random.default_rng(0)
+    tex = jnp.asarray(rng.standard_normal((512, 512, 24)).astype(np.float32))
+    uv = gb["uv_map"]  # real rendered uv — the actual index pattern
+    xl, yl = _level_coords(uv, 512)
+    xc, yc = _chunk_coords(xl, yl)
+    got, ovf = gather_taps(xc, yc, tex)
+    want = _xla_gather_taps(xc, yc, tex)
+    rel = float(
+        jnp.max(jnp.abs(got - want)) / (jnp.max(jnp.abs(want)) + 1e-9)
+    )
+    print(f"gather_taps on-device rel err {rel:.4f} overflow {int(ovf)} "
+          f"({'OK' if rel < 0.01 else 'FAIL'})")
+    g = jnp.asarray(rng.standard_normal((1, S, S, 24)).astype(np.float32))
+    gc = _chunk_values(g)
+    dt, ovf2 = scatter_taps(xc, yc, gc, 512, 512)
+    dt_ref = _xla_scatter_taps(xc, yc, gc, 512, 512)
+    rel2 = float(
+        jnp.max(jnp.abs(dt - dt_ref)) / (jnp.max(jnp.abs(dt_ref)) + 1e-9)
+    )
+    print(f"scatter_taps on-device rel err {rel2:.4f} overflow {int(ovf2)} "
+          f"({'OK' if rel2 < 0.01 else 'FAIL'})")
+
+    # --- 4. stratified kNN on device ----------------------------------
+    from rnr_tpu.ops.knn_pallas import stratified_knn, stratified_knn_xla
+
+    x = jnp.asarray(rng.standard_normal((7500, 3)).astype(np.float32))
+    idx_p = np.asarray(stratified_knn(x, stratum=16))
+    idx_x = np.asarray(stratified_knn_xla(x, stratum=16))
+    agree_k = (idx_p == idx_x).mean()
+    print(f"stratified_knn on-device agreement {agree_k:.4f} "
+          f"({'OK' if agree_k > 0.99 else 'FAIL'})")
+    assert rel < 0.01 and rel2 < 0.01 and agree_k > 0.99
 
 
 if __name__ == "__main__":
