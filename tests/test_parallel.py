@@ -128,3 +128,80 @@ def test_sharded_rnr_eval_matches_single(rng):
     lp = jnp.full((1, 8, 16, 3), 0.7)
     out3 = sharded(state, batch, lp_override=lp, relight=True)
     assert np.isfinite(np.asarray(out3["img"])).all()
+
+
+def test_constrain_noop_without_mesh():
+    from rnr_tpu.parallel.constraints import constrain
+
+    x = jnp.ones((4, 8))
+    y = constrain(x, "dp", "sp")
+    assert y is x  # identity when no mesh context is active
+
+
+def test_constrain_applies_under_mesh():
+    from rnr_tpu.parallel.constraints import constrain
+
+    mesh = make_mesh(8, dp=2)
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(constrain(x * 2, "dp", "sp"))
+
+    x = jnp.ones((4, 8))
+    with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+        assert float(f(x)) == 64.0
+        # axis not on the mesh -> silent no-op, not an error
+        @jax.jit
+        def g(x):
+            return jnp.sum(constrain(x, "nonexistent_axis"))
+
+        assert float(g(x)) == 32.0
+
+
+def test_sharding_constraints_in_hlo(rng):
+    """The sharded RNR step's compiled HLO contains collectives — the
+    constraints (unet activations, GCN distance rows) really partition
+    the program instead of resolving to replication."""
+    cfg = _tiny_rnr_cfg()
+    model = RNRModel(cfg=cfg, l_dir=_fib_sphere(64))
+    batch = _rnr_batch(rng, s=32)
+    state, tx = create_rnr_state(model, KEY, batch, 1e-3)
+    statics = {
+        "l_samples_init": jnp.asarray(
+            rng.uniform(0, 1, (64, 3)).astype(np.float32)
+        ),
+        "l_samples_mask": jnp.asarray(
+            (rng.uniform(size=64) > 0.3).astype(np.float32)
+        ),
+        "tex_flatten_init": rnr_texture_flatten_init(model, state.params),
+    }
+    mesh = make_mesh(8, dp=1)
+    from rnr_tpu.parallel.sharding import replicated, shard_rnr_batch
+
+    base = make_rnr_train_step(model, tx)
+    with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+        hlo = base.lower(
+            jax.device_put(state, replicated(mesh)),
+            shard_rnr_batch(batch, mesh),
+            jax.device_put(statics, replicated(mesh)),
+            KEY,
+        ).compile().as_text()
+    assert any(
+        op in hlo
+        for op in ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute")
+    )
+
+
+def test_distributed_helpers_single_process():
+    from rnr_tpu.parallel.distributed import (
+        fetch_global, host_local_batch_slice, init_distributed,
+        is_main_process,
+    )
+
+    assert init_distributed(None, None, None) is False
+    assert is_main_process()
+    local, off = host_local_batch_slice(4)
+    assert (local, off) == (4, 0)
+    x = jnp.arange(6.0)
+    np.testing.assert_array_equal(fetch_global(x), np.arange(6.0))
