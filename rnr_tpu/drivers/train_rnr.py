@@ -74,7 +74,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n_filters", default=64, type=int)
     p.add_argument("--n_blocks", default=20, type=int)
     p.add_argument("--epsilon", default=0.2, type=float)
-    p.add_argument("--stochastic", default=True, type=bool)
+    p.add_argument("--stochastic", default=True,
+                   type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--out_channels_gcn", default=512, type=int)
     p.add_argument("--use_gcn", default=True,
                    type=lambda x: str(x).lower() in ["true", "1"])
