@@ -254,15 +254,18 @@ class DenseDeepGCN(nn.Module):
 
         idx_cache = None
         strat_cache = None
+        # stratified candidates need at least k strata to sample from;
+        # below that every block takes the windowed path, so the window
+        # cache must NOT be capped at strat_min_dilation (a short cache
+        # would truncate high-dilation neighbor lists)
+        strat_possible = (
+            cfg.strat_min_dilation > 0
+            and pos.shape[0] >= cfg.kernel_size * cfg.stratum_width
+        )
         for i in range(cfg.n_blocks - 1):
             dilation = 1 + i
             h = feats[-1]
-            use_strat = (
-                cfg.strat_min_dilation > 0
-                and dilation >= cfg.strat_min_dilation
-                # need at least k strata to sample from
-                and h.shape[0] >= cfg.kernel_size * cfg.stratum_width
-            )
+            use_strat = strat_possible and dilation >= cfg.strat_min_dilation
             rng = (
                 self.make_rng("gcn")
                 if (train and cfg.stochastic and self.has_rng("gcn"))
@@ -284,7 +287,7 @@ class DenseDeepGCN(nn.Module):
                     last = min(
                         i + cfg.graph_refresh_every - 1, cfg.n_blocks - 2
                     )
-                    if cfg.strat_min_dilation > 0:
+                    if strat_possible:
                         last = min(last, cfg.strat_min_dilation - 2)
                     k_window = cfg.kernel_size * (1 + last)
                     idx_cache = knn_graph(

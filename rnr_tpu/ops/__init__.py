@@ -53,3 +53,6 @@ from rnr_tpu.ops.render_api import (
     rasterize_depth,
     fill_back_faces,
 )
+from rnr_tpu.ops.edge_grad import silhouette, rasterize_opt
+from rnr_tpu.ops.knn_pallas import stratified_knn
+from rnr_tpu.ops.texture_pallas import mipmap_sample, gather_taps, scatter_taps

@@ -9,3 +9,10 @@ from rnr_tpu.parallel.sharding import (
     make_sharded_dnr_train_step,
     make_sharded_rnr_eval_step,
 )
+from rnr_tpu.parallel.constraints import constrain
+from rnr_tpu.parallel.distributed import (
+    init_distributed,
+    is_main_process,
+    fetch_global,
+    host_local_batch_slice,
+)

@@ -104,6 +104,30 @@ class TestGCNStratified:
         assert np.isfinite(np.asarray(out_ref)).all()
         assert np.isfinite(np.asarray(out_strat)).all()
 
+    def test_small_mesh_high_dilation_windowed_fallback(self):
+        """V below k*stratum_width forces every block onto the windowed
+        path — the window cache must still cover the highest dilation
+        (regression: strat cap truncated neighbor lists -> shape error
+        in dilate_edges on a 117-vertex mesh with 8 blocks)."""
+        rng = np.random.default_rng(5)
+        v = 117  # < kernel_size * stratum_width = 128
+        pos = jnp.asarray(rng.standard_normal((v, 3)).astype(np.float32))
+        cfg = GCNConfig(
+            n_blocks=8, kernel_size=8, n_filters=8, num_v=v,
+            out_channels=16, strat_min_dilation=3, stratum_width=16,
+        )
+        gcn = DenseDeepGCN(cfg)
+        variables = gcn.init(
+            {"params": jax.random.PRNGKey(0), "gcn": jax.random.PRNGKey(1)},
+            pos,
+        )
+        out = gcn.apply(
+            variables, pos, train=True, mutable=["spectral"],
+            rngs={"gcn": jax.random.PRNGKey(2)},
+        )[0]
+        assert out.shape == (1, 16)
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_exact_parity_mode_unchanged(self):
         """knn_approx=False + strat_min_dilation=0 is the reference graph
         (exact windowed top-k, gcn_lib/dense/torch_edge.py:46-65)."""
