@@ -58,8 +58,6 @@ def build_argparser() -> argparse.ArgumentParser:
                    type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--out_dir", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
-    p.add_argument("--force_visible", default=False,
-                   type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--mesh_devices", type=int, default=None,
                    help="tile-shard each frame over the first N devices")
     p.add_argument("--mesh_dp", type=int, default=1)

@@ -235,12 +235,22 @@ def scatter_taps(
         in_specs=[
             pl.BlockSpec(
                 (1, 2, chunk_px),
-                lambda t, m, ids, counts: (ids[t, m], 0, 0),
+                # clamp padding cells to the last real chunk — equal
+                # consecutive block indices skip the HBM copy
+                lambda t, m, ids, counts: (
+                    ids[t, jnp.minimum(m, jnp.maximum(counts[t] - 1, 0))],
+                    0,
+                    0,
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, ch, chunk_px),
-                lambda t, m, ids, counts: (ids[t, m], 0, 0),
+                lambda t, m, ids, counts: (
+                    ids[t, jnp.minimum(m, jnp.maximum(counts[t] - 1, 0))],
+                    0,
+                    0,
+                ),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -418,7 +428,15 @@ def gather_taps(
             ),
             pl.BlockSpec(
                 (1, tile_c * ch, tile_r),
-                lambda c, k, tids, counts: (tids[c, k], 0, 0),
+                # clamp padding cells (k >= count) to the chunk's last
+                # real tile: Pallas skips the HBM copy when consecutive
+                # block indices are equal, so skipped cells cost nothing
+                # instead of prefetching a fresh ~786 KB tile each
+                lambda c, k, tids, counts: (
+                    tids[c, jnp.minimum(k, jnp.maximum(counts[c] - 1, 0))],
+                    0,
+                    0,
+                ),
                 memory_space=pltpu.VMEM,
             ),
         ],
