@@ -69,6 +69,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    type=lambda x: str(x).lower() in ["true", "1"],
                    help="rematerialize U-Net blocks (needed for batch>=4 "
                         "at 512^2 on one chip)")
+    p.add_argument("--unet_fuse_mode", default="concat",
+                   choices=["concat", "dense"],
+                   help="GCN fusion structure: reference concat block or "
+                        "the dense-collapsed TPU variant")
     # gcn (train_rnr.py:84-95)
     p.add_argument("--kernel_size", default=16, type=int)
     p.add_argument("--n_filters", default=64, type=int)
@@ -427,7 +431,8 @@ def main(argv=None) -> None:
             strat_min_dilation=opt.strat_min_dilation,
             stratum_width=opt.stratum_width,
         ),
-        render_net=RenderNetConfig(nf0=opt.nf0, remat=opt.unet_remat),
+        render_net=RenderNetConfig(nf0=opt.nf0, remat=opt.unet_remat,
+                                   fuse_mode=opt.unet_fuse_mode),
         loss=LossConfig(
             loss_lighting_weight=opt.loss_lighting_weight,
             loss_lighting_uncovered_weight=opt.loss_lighting_uncovered_weight,

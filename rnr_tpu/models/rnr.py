@@ -67,6 +67,7 @@ class RNRModel(nn.Module):
             norm=c.render_net.norm,  # type: ignore[arg-type]
             compute_dtype=c.render_net.compute_dtype,
             remat=c.render_net.remat,
+            fuse_mode=c.render_net.fuse_mode,
         )
         if c.use_gcn:
             self.gcn = DenseDeepGCN(

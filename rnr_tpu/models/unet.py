@@ -162,6 +162,54 @@ class UpBlock(nn.Module):
         return x
 
 
+class GcnFuseBlock(nn.Module):
+    """GCN-feature fusion exploiting spatial constancy of v_fea.
+
+    Functionally the reference's concat + DownBlock(stride=1, kernel=3)
+    (pytorch_prototyping.py:396,408-413), but the v branch of the
+    640-channel prep conv collapses: a 3x3 conv over a spatially-constant
+    map (reflect-padding a constant is the same constant) equals one
+    dense projection of v broadcast over space.  The prep conv therefore
+    only convolves the h columns — a ~3x FLOP cut of the fusion block.
+    Reparameterization, not approximation: the dense is the sum of the
+    reference's 9 v-tap kernels, an identical function class with fewer
+    parameters.
+    """
+
+    out_ch: int
+    norm: NormKind = "batch"
+    use_dropout: bool = False
+    dropout_prob: float = 0.1
+    dtype: jnp.dtype | None = None
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, h: jax.Array, v: jax.Array) -> jax.Array:
+        train = self.train
+        use_bias = self.norm == "none"
+        mid = h.shape[-1] + v.shape[-1]  # = concat width, as reference
+        x = _reflect_pad(h, 1)
+        x = nn.Conv(mid, (3, 3), padding="VALID", use_bias=use_bias,
+                    dtype=self.dtype)(x)
+        x = x + nn.Dense(mid, use_bias=False, dtype=self.dtype)(
+            v
+        )[:, None, None, :]
+        if (norm := _make_norm(self.norm)) is not None:
+            x = norm(x)
+        x = nn.leaky_relu(x, 0.2)
+        if self.use_dropout:
+            x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
+        x = _reflect_pad(x, 1)
+        x = nn.Conv(self.out_ch, (3, 3), padding="VALID", use_bias=use_bias,
+                    dtype=self.dtype)(x)
+        if (norm := _make_norm(self.norm)) is not None:
+            x = norm(x)
+        x = nn.leaky_relu(x, 0.2)
+        if self.use_dropout:
+            x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
+        return x
+
+
 class Unet(nn.Module):
     """Skip-connected encoder/decoder with optional GCN fusion.
 
@@ -187,6 +235,9 @@ class Unet(nn.Module):
     # ~the number of layers per block.  Enables batch 4 at 512^2 on one
     # v5e chip (VERDICT r1 item 3).
     remat: bool = False
+    # "concat" = reference structure (concat + 640-ch DownBlock);
+    # "dense" = GcnFuseBlock (constant-map conv collapsed to a dense)
+    fuse_mode: Literal["concat", "dense"] = "concat"
 
     @nn.compact
     def __call__(
@@ -239,22 +290,36 @@ class Unet(nn.Module):
             if i == 0 and self.use_gcn:
                 if v_fea is None:
                     raise ValueError("use_gcn=True requires v_fea")
-                tiled = jnp.broadcast_to(
-                    v_fea[:, None, None, :],
-                    (h.shape[0], h.shape[1], h.shape[2], v_fea.shape[-1]),
-                )
-                h = jnp.concatenate([h, tiled], axis=-1)
-                # stride-1 fusion conv (pytorch_prototyping.py:396)
-                h = Down(
-                    chs[1],
-                    norm=self.norm,
-                    use_dropout=self.use_dropout,
-                    dropout_prob=self.dropout_prob,
-                    stride=1,
-                    kernel=3,
-                    dtype=cdtype,
-                    train=train,
-                )(h)
+                if self.fuse_mode == "dense":
+                    Fuse = nn.remat(GcnFuseBlock) if self.remat else (
+                        GcnFuseBlock
+                    )
+                    h = Fuse(
+                        chs[1],
+                        norm=self.norm,
+                        use_dropout=self.use_dropout,
+                        dropout_prob=self.dropout_prob,
+                        dtype=cdtype,
+                        train=train,
+                    )(h, v_fea)
+                else:
+                    tiled = jnp.broadcast_to(
+                        v_fea[:, None, None, :],
+                        (h.shape[0], h.shape[1], h.shape[2],
+                         v_fea.shape[-1]),
+                    )
+                    h = jnp.concatenate([h, tiled], axis=-1)
+                    # stride-1 fusion conv (pytorch_prototyping.py:396)
+                    h = Down(
+                        chs[1],
+                        norm=self.norm,
+                        use_dropout=self.use_dropout,
+                        dropout_prob=self.dropout_prob,
+                        stride=1,
+                        kernel=3,
+                        dtype=cdtype,
+                        train=train,
+                    )(h)
 
         # decoder with per-level skip concat
         for i in reversed(range(nd)):
@@ -305,6 +370,7 @@ class RenderingNet(nn.Module):
     norm: NormKind = "batch"
     compute_dtype: str = "float32"
     remat: bool = False
+    fuse_mode: str = "concat"
 
     @nn.compact
     def __call__(
@@ -325,5 +391,6 @@ class RenderingNet(nn.Module):
             outermost_highway_mode=self.outermost_highway_mode,  # type: ignore[arg-type]
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            fuse_mode=self.fuse_mode,  # type: ignore[arg-type]
         )(x, v_fea, train=train)
         return jnp.tanh(y.astype(jnp.float32))

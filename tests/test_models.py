@@ -378,3 +378,65 @@ def test_ray_render_sh_matches_probe_path(rng):
         np.asarray(out_sh["out"]), np.asarray(out_probe["out"]),
         atol=0.03, rtol=0.05,
     )
+
+
+def test_unet_dense_fuse_mode():
+    """GcnFuseBlock (fuse_mode='dense') matches the concat block's
+    function class: with the dense set to the sum of the 9 v-tap kernels
+    of an equivalent concat fusion, outputs are identical."""
+    import jax
+    import jax.numpy as jnp
+    import flax
+    from rnr_tpu.models.unet import Unet
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 5)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 8)).astype(np.float32))
+    kw = dict(in_channels=5, out_channels=3, nf0=4, num_down=2,
+              max_channels=8, use_dropout=False, use_gcn=True,
+              out_channels_gcn=8, norm="none", compute_dtype="float32")
+    net_c = Unet(fuse_mode="concat", **kw)
+    net_d = Unet(fuse_mode="dense", **kw)
+    pc = flax.traverse_util.flatten_dict(
+        net_c.init(jax.random.PRNGKey(0), x, v, train=False)["params"]
+    )
+    pd = flax.traverse_util.flatten_dict(
+        net_d.init(jax.random.PRNGKey(1), x, v, train=False)["params"]
+    )
+
+    h_ch = 4  # chs[0]=nf0 -> after DownBlock_0: chs[1]=8? no: fusion input
+    # fusion input h has chs[1] channels; derive split from shapes instead
+    fuse_c = {k: v_ for k, v_ in pc.items() if k[0] == "DownBlock_1"}
+    fuse_d_keys = [k for k in pd if k[0] == "GcnFuseBlock_0"]
+    w_prep = fuse_c[("DownBlock_1", "Conv_0", "kernel")]  # [3,3,h+v,mid]
+    h_ch = pd[("GcnFuseBlock_0", "Conv_0", "kernel")].shape[2]
+    pd[("GcnFuseBlock_0", "Conv_0", "kernel")] = w_prep[:, :, :h_ch, :]
+    pd[("GcnFuseBlock_0", "Dense_0", "kernel")] = w_prep[:, :, h_ch:, :].sum(
+        axis=(0, 1)
+    )
+    pd[("GcnFuseBlock_0", "Conv_0", "bias")] = fuse_c[
+        ("DownBlock_1", "Conv_0", "bias")
+    ]
+    pd[("GcnFuseBlock_0", "Conv_1", "kernel")] = fuse_c[
+        ("DownBlock_1", "Conv_1", "kernel")
+    ]
+    pd[("GcnFuseBlock_0", "Conv_1", "bias")] = fuse_c[
+        ("DownBlock_1", "Conv_1", "bias")
+    ]
+    # every other param maps in creation order between the two trees
+    rest_c = [k for k in pc if k[0] != "DownBlock_1"]
+    rest_d = [k for k in pd if k[0] != "GcnFuseBlock_0"]
+    assert len(rest_c) == len(rest_d)
+    for kc, kd in zip(rest_c, rest_d):
+        assert pc[kc].shape == pd[kd].shape, (kc, kd)
+        pd[kd] = pc[kc]
+
+    out_c = net_c.apply(
+        {"params": flax.traverse_util.unflatten_dict(pc)}, x, v, train=False
+    )
+    out_d = net_d.apply(
+        {"params": flax.traverse_util.unflatten_dict(pd)}, x, v, train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_c), atol=1e-5
+    )
