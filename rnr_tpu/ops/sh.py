@@ -45,7 +45,6 @@ def evaluate_sh_basis(lmax: int, directions: jax.Array) -> jax.Array:
     z = directions[..., 2]
     ct = jnp.clip(z, -1.0, 1.0)                      # cos(theta)
     st = jnp.sqrt(jnp.clip(1.0 - ct * ct, 0.0, None))  # sin(theta) >= 0
-    phi = jnp.arctan2(y, x)
 
     # Q[m][l] holds the fully-normalized associated Legendre part
     # N_lm * P_lm(ct) (without Condon-Shortley phase).  Built with the
@@ -66,13 +65,23 @@ def evaluate_sh_basis(lmax: int, directions: jax.Array) -> jax.Array:
             q[m][l] = a * (ct * q[m][l - 1] - b * q[m][l - 2])
 
     # Azimuthal factors; sqrt(2) for |m| > 0 keeps orthonormality for the
-    # real basis.
+    # real basis.  cos(m phi) / sin(m phi) come from the angle-addition
+    # recurrence on (cos phi, sin phi) = (x, y) / sin(theta) — NO
+    # transcendentals (the arctan2 + 2*lmax cos/sin of the naive form are
+    # the dominant VPU cost of per-ray SH shading at lmax 10).  At the
+    # poles st = 0, but every m > 0 Legendre term carries st^m = 0, so the
+    # azimuthal value there is irrelevant; guard with (1, 0).
     sqrt2 = math.sqrt(2.0)
+    inv_st = jnp.where(st > 0, 1.0 / jnp.maximum(st, 1e-30), 0.0)
+    c1 = jnp.where(st > 0, x * inv_st, 1.0)
+    s1 = y * inv_st
     cos_m = [None] * (lmax + 1)
     sin_m = [None] * (lmax + 1)
-    for m in range(1, lmax + 1):
-        cos_m[m] = jnp.cos(m * phi)
-        sin_m[m] = jnp.sin(m * phi)
+    if lmax >= 1:
+        cos_m[1], sin_m[1] = c1, s1
+    for m in range(2, lmax + 1):
+        cos_m[m] = cos_m[m - 1] * c1 - sin_m[m - 1] * s1
+        sin_m[m] = sin_m[m - 1] * c1 + cos_m[m - 1] * s1
 
     out = []
     for l in range(lmax + 1):

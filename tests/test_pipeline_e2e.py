@@ -59,7 +59,7 @@ def make_uv_sphere(path, n_lat=8, n_lon=12, radius=0.5):
             )
 
 
-def make_scene(root, num_view=6, hw=64):
+def make_scene(root, num_view=6, hw=64, n_lat=8, n_lon=12):
     os.makedirs(os.path.join(root, "rgb0"), exist_ok=True)
     os.makedirs(os.path.join(root, "rgb1"), exist_ok=True)
     # light probes (one per lighting) -> exercises LightingLP fit + the
@@ -75,7 +75,7 @@ def make_scene(root, num_view=6, hw=64):
             os.path.join(root, "lp", f"{li}.png"),
             (probe * 255).astype(np.uint8),
         )
-    make_uv_sphere(os.path.join(root, "mesh.obj"))
+    make_uv_sphere(os.path.join(root, "mesh.obj"), n_lat=n_lat, n_lon=n_lon)
     poses = np.zeros((num_view, 4, 4))
     projs = np.zeros((num_view, 3, 3))
     rng = np.random.default_rng(0)

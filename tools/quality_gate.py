@@ -51,7 +51,9 @@ def main():
     root = args.root or tempfile.mkdtemp(prefix="rnr_qgate_")
     print("scene root:", root, flush=True)
     if not os.path.isdir(os.path.join(root, "rgb0")):
-        make_scene(root, num_view=24, hw=args.img)
+        # dense enough that the stratified-kNN path actually engages
+        # (needs V >= kernel_size * stratum_width = 128)
+        make_scene(root, num_view=24, hw=args.img, n_lat=24, n_lon=36)
         precompute.main(
             ["--data_root", root, "--img_size", str(args.img),
              "--sampling_pattern", "all"]
