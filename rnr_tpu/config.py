@@ -82,10 +82,12 @@ class RenderNetConfig:
     compute_dtype: str = "bfloat16"  # conv compute dtype; params stay f32
     # rematerialize U-Net blocks in backward (enables batch>=4 at 512^2)
     remat: bool = False
-    # GCN fusion structure: "concat" = reference concat + 640-ch
-    # DownBlock; "dense" = constant-map conv collapsed to a dense
-    # projection (models/unet.py::GcnFuseBlock, ~3x fusion FLOP cut)
-    fuse_mode: str = "concat"
+    # GCN fusion structure: "dense" (default) = constant-map conv
+    # collapsed to a dense projection (models/unet.py::GcnFuseBlock,
+    # ~3x fusion FLOP cut, identical function class — a conv over a
+    # spatially-constant map only ever realizes its summed kernel);
+    # "concat" = the reference's concat + 640-ch DownBlock structure
+    fuse_mode: str = "dense"
 
 
 @dataclasses.dataclass(frozen=True)

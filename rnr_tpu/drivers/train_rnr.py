@@ -69,7 +69,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    type=lambda x: str(x).lower() in ["true", "1"],
                    help="rematerialize U-Net blocks (needed for batch>=4 "
                         "at 512^2 on one chip)")
-    p.add_argument("--unet_fuse_mode", default="concat",
+    p.add_argument("--unet_fuse_mode", default="dense",
                    choices=["concat", "dense"],
                    help="GCN fusion structure: reference concat block or "
                         "the dense-collapsed TPU variant")
