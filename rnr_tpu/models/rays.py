@@ -203,13 +203,16 @@ def rays_lt_chrom_loss(
 
     Returns (loss, chrom, chrom_mean, chrom_diff).
     """
-    chrom = rays_lt / jnp.maximum(
-        jnp.linalg.norm(rays_lt, axis=-1, keepdims=True), 1e-12
-    )
+    # NaN trap: norm/maximum guards the VALUE at 0 but sqrt'(0) = inf
+    # still reaches the backward pass (inf * 0 = NaN), and rays_lt hits
+    # exactly (0,0,0) once the U-Net's tanh saturates to -1 late in
+    # training — every long run diverged at ~iter 1400 through this
+    # gradient.  rsqrt of the eps-shifted square is finite everywhere.
+    sq = jnp.sum(rays_lt * rays_lt, axis=-1, keepdims=True)
+    chrom = rays_lt * jax.lax.rsqrt(sq + 1e-20)
     chrom_mean = jnp.mean(chrom, axis=-2, keepdims=True)
-    chrom_mean = chrom_mean / jnp.maximum(
-        jnp.linalg.norm(chrom_mean, axis=-1, keepdims=True), 1e-12
-    )
+    sq_m = jnp.sum(chrom_mean * chrom_mean, axis=-1, keepdims=True)
+    chrom_mean = chrom_mean * jax.lax.rsqrt(sq_m + 1e-20)
     diff = (1.0 - jnp.sum(chrom * chrom_mean, axis=-1)) * alpha_map  # [N,H,W,R]
     if img is not None:
         weight = jnp.clip(

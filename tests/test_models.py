@@ -440,3 +440,21 @@ def test_unet_dense_fuse_mode():
     np.testing.assert_allclose(
         np.asarray(out_d), np.asarray(out_c), atol=1e-5
     )
+
+
+def test_chrom_loss_gradient_finite_at_zero_rays():
+    """Regression: a ray with exactly-zero light transport (tanh
+    saturated to -1) must NOT produce NaN gradients.  The old
+    norm/maximum guard protected the value but sqrt'(0)=inf reached the
+    backward pass; every long training run diverged at ~iter 1400
+    through this gradient."""
+    import jax
+    import jax.numpy as jnp
+    from rnr_tpu.models.rays import rays_lt_chrom_loss
+
+    rng = np.random.default_rng(0)
+    rl = jnp.asarray(rng.uniform(0.1, 1, (1, 4, 4, 3, 3)).astype(np.float32))
+    rl = rl.at[0, 1, 1, 0].set(0.0)
+    alpha = jnp.ones((1, 4, 4, 1))
+    g = jax.grad(lambda r: rays_lt_chrom_loss(r, alpha)[0])(rl)
+    assert bool(jnp.isfinite(g).all())
