@@ -88,6 +88,10 @@ class RenderNetConfig:
     # spatially-constant map only ever realizes its summed kernel);
     # "concat" = the reference's concat + 640-ch DownBlock structure
     fuse_mode: str = "dense"
+    # U-Net conv padding: "reflect" = reference parity; "same" =
+    # zero-padded convs (faster on TPU; differs only in the outermost
+    # pixel ring, which the training loss crops)
+    pad_mode: str = "reflect"
 
 
 @dataclasses.dataclass(frozen=True)

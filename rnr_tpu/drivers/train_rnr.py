@@ -73,6 +73,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["concat", "dense"],
                    help="GCN fusion structure: reference concat block or "
                         "the dense-collapsed TPU variant")
+    p.add_argument("--unet_pad_mode", default="reflect",
+                   choices=["reflect", "same"],
+                   help="U-Net conv padding: reflect = reference parity; "
+                        "same = faster zero-padded convs")
     # gcn (train_rnr.py:84-95)
     p.add_argument("--kernel_size", default=16, type=int)
     p.add_argument("--n_filters", default=64, type=int)
@@ -432,7 +436,8 @@ def main(argv=None) -> None:
             stratum_width=opt.stratum_width,
         ),
         render_net=RenderNetConfig(nf0=opt.nf0, remat=opt.unet_remat,
-                                   fuse_mode=opt.unet_fuse_mode),
+                                   fuse_mode=opt.unet_fuse_mode,
+                                   pad_mode=opt.unet_pad_mode),
         loss=LossConfig(
             loss_lighting_weight=opt.loss_lighting_weight,
             loss_lighting_uncovered_weight=opt.loss_lighting_uncovered_weight,

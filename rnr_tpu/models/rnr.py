@@ -68,6 +68,7 @@ class RNRModel(nn.Module):
             compute_dtype=c.render_net.compute_dtype,
             remat=c.render_net.remat,
             fuse_mode=c.render_net.fuse_mode,
+            pad_mode=c.render_net.pad_mode,
         )
         if c.use_gcn:
             self.gcn = DenseDeepGCN(

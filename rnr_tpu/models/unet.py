@@ -91,6 +91,17 @@ class DownBlock(nn.Module):
     kernel: int = 4
     dtype: jnp.dtype | None = None
     train: bool = True
+    # "reflect" = reference parity; "same" = zero padding inside the
+    # conv (no pre-pad materialization — faster on TPU, differs only in
+    # the outermost pixel ring, which the training loss crops anyway)
+    pad_mode: str = "reflect"
+
+    def _pad(self, x, p):
+        return _reflect_pad(x, p) if self.pad_mode == "reflect" else x
+
+    @property
+    def _conv_pad(self):
+        return "VALID" if self.pad_mode == "reflect" else "SAME"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -98,20 +109,20 @@ class DownBlock(nn.Module):
         use_bias = self.norm == "none"
         if self.prep_conv:
             mid = self.middle_ch or x.shape[-1]
-            x = _reflect_pad(x, 1)
-            x = nn.Conv(mid, (3, 3), padding="VALID", use_bias=use_bias,
-                        dtype=self.dtype)(x)
+            x = self._pad(x, 1)
+            x = nn.Conv(mid, (3, 3), padding=self._conv_pad,
+                        use_bias=use_bias, dtype=self.dtype)(x)
             if (norm := _make_norm(self.norm)) is not None:
                 x = norm(x)
             x = nn.leaky_relu(x, 0.2)
             if self.use_dropout:
                 x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
-        x = _reflect_pad(x, 1)
+        x = self._pad(x, 1)
         x = nn.Conv(
             self.out_ch,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="VALID",
+            padding=self._conv_pad,
             use_bias=use_bias,
             dtype=self.dtype,
         )(x)
@@ -136,6 +147,7 @@ class UpBlock(nn.Module):
     dropout_prob: float = 0.1
     dtype: jnp.dtype | None = None
     train: bool = True
+    pad_mode: str = "reflect"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -151,9 +163,12 @@ class UpBlock(nn.Module):
         if self.use_dropout:
             x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
         if self.post_conv:
-            x = _reflect_pad(x, 1)
-            x = nn.Conv(self.out_ch, (3, 3), padding="VALID", use_bias=use_bias,
-                        dtype=self.dtype)(x)
+            if self.pad_mode == "reflect":
+                x = _reflect_pad(x, 1)
+            x = nn.Conv(self.out_ch, (3, 3),
+                        padding="VALID" if self.pad_mode == "reflect"
+                        else "SAME",
+                        use_bias=use_bias, dtype=self.dtype)(x)
             if (norm := _make_norm(self.norm)) is not None:
                 x = norm(x)
             x = nn.relu(x)
@@ -182,14 +197,17 @@ class GcnFuseBlock(nn.Module):
     dropout_prob: float = 0.1
     dtype: jnp.dtype | None = None
     train: bool = True
+    pad_mode: str = "reflect"
 
     @nn.compact
     def __call__(self, h: jax.Array, v: jax.Array) -> jax.Array:
         train = self.train
         use_bias = self.norm == "none"
+        refl = self.pad_mode == "reflect"
+        cpad = "VALID" if refl else "SAME"
         mid = h.shape[-1] + v.shape[-1]  # = concat width, as reference
-        x = _reflect_pad(h, 1)
-        x = nn.Conv(mid, (3, 3), padding="VALID", use_bias=use_bias,
+        x = _reflect_pad(h, 1) if refl else h
+        x = nn.Conv(mid, (3, 3), padding=cpad, use_bias=use_bias,
                     dtype=self.dtype)(x)
         x = x + nn.Dense(mid, use_bias=False, dtype=self.dtype)(
             v
@@ -199,8 +217,8 @@ class GcnFuseBlock(nn.Module):
         x = nn.leaky_relu(x, 0.2)
         if self.use_dropout:
             x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
-        x = _reflect_pad(x, 1)
-        x = nn.Conv(self.out_ch, (3, 3), padding="VALID", use_bias=use_bias,
+        x = _reflect_pad(x, 1) if refl else x
+        x = nn.Conv(self.out_ch, (3, 3), padding=cpad, use_bias=use_bias,
                     dtype=self.dtype)(x)
         if (norm := _make_norm(self.norm)) is not None:
             x = norm(x)
@@ -238,6 +256,10 @@ class Unet(nn.Module):
     # "concat" = reference structure (concat + 640-ch DownBlock);
     # "dense" = GcnFuseBlock (constant-map conv collapsed to a dense)
     fuse_mode: Literal["concat", "dense"] = "concat"
+    # "reflect" = reference-parity reflect padding; "same" = zero-padded
+    # convs (no pre-pad materialization; differs only in the outermost
+    # pixel ring, which the training loss crops)
+    pad_mode: Literal["reflect", "same"] = "reflect"
 
     @nn.compact
     def __call__(
@@ -245,6 +267,8 @@ class Unet(nn.Module):
     ) -> jax.Array:
         Down = nn.remat(DownBlock) if self.remat else DownBlock
         Up = nn.remat(UpBlock) if self.remat else UpBlock
+        refl = self.pad_mode == "reflect"
+        cpad = "VALID" if refl else "SAME"
         cdtype = jnp.dtype(self.compute_dtype)
         x = x.astype(cdtype)
         if v_fea is not None:
@@ -261,8 +285,8 @@ class Unet(nn.Module):
 
         # in layer (pytorch_prototyping.py:470-481)
         use_bias_in = self.norm == "none"
-        h = _reflect_pad(x, 1)
-        h = nn.Conv(self.nf0, (3, 3), padding="VALID", use_bias=use_bias_in,
+        h = _reflect_pad(x, 1) if refl else x
+        h = nn.Conv(self.nf0, (3, 3), padding=cpad, use_bias=use_bias_in,
                     dtype=cdtype)(h)
         if (norm := _make_norm(self.norm)) is not None:
             h = norm(h)
@@ -282,6 +306,7 @@ class Unet(nn.Module):
                 dropout_prob=self.dropout_prob,
                 dtype=cdtype,
                 train=train,
+                pad_mode=self.pad_mode,
             )(h)
             # under a device mesh, keep every level's activation
             # (dp, sp)-sharded — batch over dp, image rows over sp —
@@ -301,6 +326,7 @@ class Unet(nn.Module):
                         dropout_prob=self.dropout_prob,
                         dtype=cdtype,
                         train=train,
+                        pad_mode=self.pad_mode,
                     )(h, v_fea)
                 else:
                     tiled = jnp.broadcast_to(
@@ -319,6 +345,7 @@ class Unet(nn.Module):
                         kernel=3,
                         dtype=cdtype,
                         train=train,
+                        pad_mode=self.pad_mode,
                     )(h)
 
         # decoder with per-level skip concat
@@ -331,6 +358,7 @@ class Unet(nn.Module):
                 dropout_prob=self.dropout_prob,
                 dtype=cdtype,
                 train=train,
+                pad_mode=self.pad_mode,
             )(h)
             h = constrain(h, "dp", "sp")
             if i == 0:
@@ -345,8 +373,8 @@ class Unet(nn.Module):
 
         # out layer (pytorch_prototyping.py:508-528)
         out_bias = self.outermost_linear or self.norm == "none"
-        h = _reflect_pad(h, 1)
-        h = nn.Conv(self.out_channels, (3, 3), padding="VALID", use_bias=out_bias,
+        h = _reflect_pad(h, 1) if refl else h
+        h = nn.Conv(self.out_channels, (3, 3), padding=cpad, use_bias=out_bias,
                     dtype=cdtype)(h)
         if not self.outermost_linear:
             if (norm := _make_norm(self.norm)) is not None:
@@ -371,6 +399,7 @@ class RenderingNet(nn.Module):
     compute_dtype: str = "float32"
     remat: bool = False
     fuse_mode: str = "concat"
+    pad_mode: str = "reflect"
 
     @nn.compact
     def __call__(
@@ -392,5 +421,6 @@ class RenderingNet(nn.Module):
             compute_dtype=self.compute_dtype,
             remat=self.remat,
             fuse_mode=self.fuse_mode,  # type: ignore[arg-type]
+            pad_mode=self.pad_mode,  # type: ignore[arg-type]
         )(x, v_fea, train=train)
         return jnp.tanh(y.astype(jnp.float32))
