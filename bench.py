@@ -110,11 +110,22 @@ def main() -> None:
         from rnr_tpu.train.steps import make_rnr_eval_step
 
         eval_step = make_rnr_eval_step(model)
-        out = eval_step(state, batch)
+        # sequence inference caches the view-independent GCN feature
+        # across frames, like the reference restores v_feature from the
+        # checkpoint (test_rnr.py:168-182) and like drivers/test_rnr does
+        variables = {
+            "params": state.params, "constants": state.constants,
+            "spectral": state.spectral,
+        }
+        v_feature = model.apply(
+            variables, batch["gcn_pos"],
+            method=lambda m, p_: m.compute_v_feature(p_),
+        )
+        out = eval_step(state, batch, v_feature=v_feature)
         float(jnp.sum(out["img"][0, 0, 0]))  # compile + sync
         t0 = time.perf_counter()
         for _ in range(steps):
-            out = eval_step(state, batch)
+            out = eval_step(state, batch, v_feature=v_feature)
         float(jnp.sum(out["img"][0, 0, 0]))
         infer_fps = steps * batch_n / (time.perf_counter() - t0)
 
