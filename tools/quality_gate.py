@@ -33,6 +33,11 @@ ABLATIONS = {
                         "--strat_min_dilation", "0"],
     # reference-exact semantics
     "exact": ["--knn_approx", "false", "--strat_min_dilation", "0"],
+    # stratified defaults + graph refresh every 4th block (the graphs
+    # are already stochastic neighborhood priors; staleness candidates)
+    "strat_refresh4": ["--knn_approx", "true", "--knn_recall", "0.9",
+                       "--strat_min_dilation", "3",
+                       "--graph_refresh_every", "4"],
 }
 
 
