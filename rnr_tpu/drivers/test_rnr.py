@@ -5,7 +5,9 @@ config snapshot, rasterizes each test view on the fly (full G-buffer in
 one XLA program — no precompute dependency), runs the RNR forward under
 one or many lightings (novel probes supported via --lp_dir), composites an
 optional probe background, writes PNGs and prints per-stage timings
-(t_raster / t_preproc / t_network_render).
+(t_prep / t_raster / t_network_render fused, or per-component texture /
+rays / unet / render buckets with --per_stage_timing; all synchronized
+by scalar fetches).
 
 Usage:
   python -m rnr_tpu.drivers.test_rnr --data_root DATA \
