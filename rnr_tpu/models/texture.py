@@ -100,6 +100,10 @@ class TextureMapper(nn.Module):
                 tex = jax.lax.stop_gradient(tex)
             texs.append(tex)
 
+        # uv is G-buffer data, never differentiated; the Pallas path's
+        # custom VJP returns zero for it, so stop the gradient here too to
+        # keep both backends' gradient semantics identical (ADVICE r2).
+        uv_map = jax.lax.stop_gradient(uv_map)
         if self.pallas_grad and _pallas_ok(texs, uv_map):
             from rnr_tpu.ops.texture_pallas import mipmap_sample
 

@@ -189,6 +189,14 @@ class GcnFuseBlock(nn.Module):
     Reparameterization, not approximation: the dense is the sum of the
     reference's 9 v-tap kernels, an identical function class with fewer
     parameters.
+
+    Caveat: the collapse relies on padding preserving the constant map,
+    which holds for reflect padding but NOT for pad_mode="same" (zero
+    padding) — there the reference concat block's v contribution shrinks
+    by the missing taps on the outermost pixel ring, while this block
+    keeps it full-strength.  The deviation is confined to that border
+    ring (which the training loss crops), on top of pad_mode="same"'s
+    own border deviation.
     """
 
     out_ch: int

@@ -66,15 +66,21 @@ def evaluate_sh_basis(lmax: int, directions: jax.Array) -> jax.Array:
 
     # Azimuthal factors; sqrt(2) for |m| > 0 keeps orthonormality for the
     # real basis.  cos(m phi) / sin(m phi) come from the angle-addition
-    # recurrence on (cos phi, sin phi) = (x, y) / sin(theta) — NO
+    # recurrence on (cos phi, sin phi) = (x, y) / hypot(x, y) — NO
     # transcendentals (the arctan2 + 2*lmax cos/sin of the naive form are
-    # the dominant VPU cost of per-ray SH shading at lmax 10).  At the
-    # poles st = 0, but every m > 0 Legendre term carries st^m = 0, so the
-    # azimuthal value there is irrelevant; guard with (1, 0).
+    # the dominant VPU cost of per-ray SH shading at lmax 10).
+    # Normalizing by hypot(x, y) rather than the z-derived sin(theta)
+    # keeps the recurrence invariant to (x, y) scale for slightly
+    # unnormalized inputs, exactly like the arctan2 form (a z-derived
+    # sin(theta) would amplify norm error as ((x^2+y^2)/(1-z^2))^(m/2)
+    # up to m = lmax).  At the poles hypot = 0, but every m > 0 Legendre
+    # term carries st^m = 0, so the azimuthal value there is irrelevant;
+    # guard with (1, 0).
     sqrt2 = math.sqrt(2.0)
-    inv_st = jnp.where(st > 0, 1.0 / jnp.maximum(st, 1e-30), 0.0)
-    c1 = jnp.where(st > 0, x * inv_st, 1.0)
-    s1 = y * inv_st
+    rxy = jnp.sqrt(x * x + y * y)
+    inv_rxy = jnp.where(rxy > 0, 1.0 / jnp.maximum(rxy, 1e-30), 0.0)
+    c1 = jnp.where(rxy > 0, x * inv_rxy, 1.0)
+    s1 = y * inv_rxy
     cos_m = [None] * (lmax + 1)
     sin_m = [None] * (lmax + 1)
     if lmax >= 1:
