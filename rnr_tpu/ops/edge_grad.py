@@ -40,10 +40,62 @@ import jax
 import jax.numpy as jnp
 
 from rnr_tpu.ops.rasterize import (
+    RasterOutput,
     rasterize_face_index,
     face_inv_matrix,
     _ndc_to_pixel,
 )
+
+
+def _rasterize_winner(
+    faces: jax.Array,
+    image_size: int,
+    near: float,
+    far: float,
+    backend: str = "auto",
+) -> RasterOutput:
+    """Winner-map rasterization for the differentiable paths.
+
+    The reference differentiates through its *fast* CUDA kernel on every
+    rasterize call (neural_renderer/rasterize.py:103-158); the TPU analog
+    is the tile-binned Pallas kernel (rasterize_pallas), which produces
+    winner maps parity-identical to the XLA scan oracle.  Backend
+    selection mirrors gbuffer.render_gbuffer: "auto" picks Pallas on
+    TPU-class backends and the oracle on CPU; "pallas_interpret" runs the
+    Pallas kernel in interpreter mode (CPU-testable).
+
+    Overflow honesty: if the static per-tile candidate cap dropped faces,
+    the winner maps are recomputed by the exact scan oracle inside a
+    lax.cond — runtime cost only when taken (same pattern as the texture
+    kernels' XLA fallback, ops/texture_pallas.py::mipmap_sample).
+    """
+    use_pallas = backend in ("pallas", "pallas_interpret") or (
+        backend == "auto" and jax.default_backend() not in ("cpu",)
+    )
+    tile_h, tile_w = min(32, image_size), min(128, image_size)
+    if image_size % tile_h or image_size % tile_w:
+        use_pallas = False  # non-tileable size: oracle handles any S
+    if not use_pallas:
+        return rasterize_face_index(faces, image_size, near=near, far=far)
+    from rnr_tpu.ops.rasterize_pallas import rasterize_pallas
+
+    out = rasterize_pallas(
+        faces, image_size, near=near, far=far,
+        tile_h=tile_h, tile_w=tile_w,
+        interpret=backend == "pallas_interpret",
+    )
+
+    def oracle():
+        o = rasterize_face_index(faces, image_size, near=near, far=far)
+        return o.face_index_map, o.weight_map, o.depth_map, o.alpha_map
+
+    fim, w, d, a = jax.lax.cond(
+        jnp.sum(out.overflow) > 0,
+        oracle,
+        lambda: (out.face_index_map, out.weight_map, out.depth_map,
+                 out.alpha_map),
+    )
+    return RasterOutput(fim, w, d, a, overflow=out.overflow)
 
 
 def _neighbor_shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
@@ -187,22 +239,24 @@ def edge_gradients(
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def silhouette(faces, image_size: int, near: float = 0.0, far: float = 1e5):
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def silhouette(faces, image_size: int, near: float = 0.0, far: float = 1e5,
+               backend: str = "auto"):
     """Differentiable silhouette: alpha map with coverage gradients.
 
-    Forward identical to `rasterize_face_index(...).alpha_map`; backward
-    routes the upstream alpha gradient through `edge_gradients`.
+    Forward identical to `rasterize_face_index(...).alpha_map`, computed
+    by the Pallas tile-binned kernel on TPU (`_rasterize_winner`);
+    backward routes the upstream alpha gradient through `edge_gradients`.
     """
-    return rasterize_face_index(faces, image_size, near=near, far=far).alpha_map
+    return _rasterize_winner(faces, image_size, near, far, backend).alpha_map
 
 
-def _sil_fwd(faces, image_size, near, far):
-    out = rasterize_face_index(faces, image_size, near=near, far=far)
+def _sil_fwd(faces, image_size, near, far, backend):
+    out = _rasterize_winner(faces, image_size, near, far, backend)
     return out.alpha_map, (faces, out)
 
 
-def _sil_bwd(image_size, near, far, res, g):
+def _sil_bwd(image_size, near, far, backend, res, g):
     faces, out = res
     grad = edge_gradients(
         faces,
@@ -245,17 +299,18 @@ def _interior(faces, textures, fim, image_size, near, far, eps, bg):
     return rgb, alpha, depth, w
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _raster_opt_core(faces, textures, image_size, near, far, eps, bg):
-    out = rasterize_face_index(faces, image_size, near=near, far=far)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _raster_opt_core(faces, textures, image_size, near, far, eps, bg,
+                     backend="auto"):
+    out = _rasterize_winner(faces, image_size, near, far, backend)
     rgb, alpha, depth, _ = _interior(
         faces, textures, out.face_index_map, image_size, near, far, eps, bg
     )
     return rgb, alpha, depth
 
 
-def _raster_opt_fwd(faces, textures, image_size, near, far, eps, bg):
-    out = rasterize_face_index(faces, image_size, near=near, far=far)
+def _raster_opt_fwd(faces, textures, image_size, near, far, eps, bg, backend):
+    out = _rasterize_winner(faces, image_size, near, far, backend)
     rgb, alpha, depth, w = _interior(
         faces, textures, out.face_index_map, image_size, near, far, eps, bg
     )
@@ -263,7 +318,7 @@ def _raster_opt_fwd(faces, textures, image_size, near, far, eps, bg):
                                  alpha, rgb)
 
 
-def _raster_opt_bwd(image_size, near, far, eps, bg, res, g):
+def _raster_opt_bwd(image_size, near, far, eps, bg, backend, res, g):
     faces, textures, fim, w, alpha, rgb = res
     g_rgb, g_alpha, g_depth = g
 
@@ -297,6 +352,7 @@ def rasterize_opt(
     far: float = 100.0,
     eps: float = 1e-4,
     background_color=(0.0, 0.0, 0.0),
+    backend: str = "auto",
 ) -> dict[str, jax.Array]:
     """Textured rasterization whose gradients move mesh vertices.
 
@@ -304,7 +360,11 @@ def rasterize_opt(
     geometry from a photometric (rgb) or coverage (alpha) loss: the
     backward pass adds the screen-space edge terms of
     `backward_pixel_map_cuda` (rasterize_cuda_kernel.cu:244-503) for both
-    channels on top of the interior texture/depth gradients.
+    channels on top of the interior texture/depth gradients.  The forward
+    winner maps come from the Pallas tile-binned kernel on TPU
+    ("auto"; see `_rasterize_winner` for the overflow-honest fallback),
+    matching the reference where every differentiable rasterize call runs
+    the fast kernel (neural_renderer/rasterize.py:103-158).
 
     Args:
       faces: [N, F, 3, 3] projected faces (xy NDC, z depth) —
@@ -318,7 +378,7 @@ def rasterize_opt(
     s_render = image_size * 2 if anti_aliasing else image_size
     rgb, alpha, depth = _raster_opt_core(
         faces, textures, s_render, near, far, eps,
-        tuple(background_color),
+        tuple(background_color), backend,
     )
     if anti_aliasing:
         def pool(x):

@@ -189,3 +189,82 @@ class TestRasterizeOpt:
             faces = optax.apply_updates(faces, updates)
             losses.append(float(loss_fn(faces)))
         assert min(losses) < losses[0] * 0.35, (losses[0], min(losses))
+
+
+class TestPallasForward:
+    """The differentiable path through the Pallas tile-binned forward
+    (VERDICT r2 item 3): winner maps from rasterize_pallas, gradients from
+    edge_gradients — exercised on CPU via interpret mode."""
+
+    def test_silhouette_forward_parity(self):
+        faces = jnp.asarray(_tri(cx=0.1, cy=-0.05, r=0.5))
+        a = silhouette(faces, S, 0.0, 100.0, "pallas_interpret")
+        b = silhouette(faces, S, 0.0, 100.0, "xla")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rasterize_opt_forward_parity(self):
+        faces = jnp.asarray(_tri())
+        tex = _tex((0.8, 0.3, 0.1))
+        a = rasterize_opt(faces, tex, S, anti_aliasing=False,
+                          near=0.0, far=100.0, backend="pallas_interpret")
+        b = rasterize_opt(faces, tex, S, anti_aliasing=False,
+                          near=0.0, far=100.0, backend="xla")
+        for k in ("rgb", "alpha", "depth"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=1e-6
+            )
+
+    def test_silhouette_fitting_converges_pallas(self):
+        import optax
+
+        target_faces = jnp.asarray(_tri(cx=0.12, cy=-0.08, r=0.45))
+        target = silhouette(target_faces, S, 0.0, 100.0, "pallas_interpret")
+
+        faces = jnp.asarray(_tri(cx=0.0, cy=0.0, r=0.55))
+
+        def loss_fn(f):
+            a = silhouette(f, S, 0.0, 100.0, "pallas_interpret")
+            return jnp.mean((a - target) ** 2)
+
+        tx = optax.adam(5e-3)
+        opt_state = tx.init(faces)
+        grad = jax.jit(jax.value_and_grad(loss_fn))
+        l0, _ = grad(faces)
+        losses = [float(l0)]
+        for _ in range(150):
+            l, g = grad(faces)
+            updates, opt_state = tx.update(g, opt_state)
+            faces = optax.apply_updates(faces, updates)
+            losses.append(float(l))
+        assert min(losses) < losses[0] * 0.35, (losses[0], min(losses))
+
+    def test_photometric_fitting_converges_pallas(self):
+        import optax
+
+        tex = _tex((0.9, 0.6, 0.2))
+        target_faces = jnp.asarray(_tri(cx=0.12, cy=-0.08, r=0.45))
+        target = rasterize_opt(
+            target_faces, tex, S, anti_aliasing=False, near=0.0, far=100.0,
+            backend="pallas_interpret",
+        )["rgb"]
+
+        faces = jnp.asarray(_tri(cx=0.0, cy=0.0, r=0.55))
+
+        def loss_fn(f):
+            rgb = rasterize_opt(
+                f, tex, S, anti_aliasing=False, near=0.0, far=100.0,
+                backend="pallas_interpret",
+            )["rgb"]
+            return jnp.mean((rgb - target) ** 2)
+
+        tx = optax.adam(5e-3)
+        opt_state = tx.init(faces)
+        grad = jax.jit(jax.value_and_grad(loss_fn))
+        l0, _ = grad(faces)
+        losses = [float(l0)]
+        for _ in range(150):
+            l, g = grad(faces)
+            updates, opt_state = tx.update(g, opt_state)
+            faces = optax.apply_updates(faces, updates)
+            losses.append(float(l))
+        assert min(losses) < losses[0] * 0.35, (losses[0], min(losses))
