@@ -5,9 +5,11 @@ config snapshot, rasterizes each test view on the fly (full G-buffer in
 one XLA program — no precompute dependency), runs the RNR forward under
 one or many lightings (novel probes supported via --lp_dir), composites an
 optional probe background, writes PNGs and prints per-stage timings
-(t_prep / t_raster / t_network_render fused, or per-component texture /
-rays / unet / render buckets with --per_stage_timing; all synchronized
-by scalar fetches).
+(t_prep / t_raster / t_network_render fused, or the reference's full
+granularity with --per_stage_timing: t_prep / t_raster / t_preproc /
+t_sh / t_texture / t_rays / t_network / t_render — a superset of the
+reference's six buckets, test_rnr.py:280-374; all synchronized by
+scalar fetches).
 
 Usage:
   python -m rnr_tpu.drivers.test_rnr --data_root DATA \
@@ -211,9 +213,35 @@ def main(argv=None) -> None:
         t0 = time.time()
         view = ds.read_view(i)
         batch_host_done = time.time()
-        gb = _gbuffer(render_gbuffer, mesh_buf, view, opt.img_size)
-        sync(gb["alpha_map"])
-        t_raster = time.time() - batch_host_done
+        stage_times = {}
+        if staged is not None:
+            # reference-granularity G-buffer buckets (test_rnr.py:280-374):
+            # t_raster = projection + z-buffer alone; t_preproc = the map
+            # interpolation/TBN/view-dir work; t_sh = per-pixel SH basis.
+            # Differencing two fused programs keeps each measured program
+            # realistic (XLA fusion intact within it).
+            from rnr_tpu.ops.gbuffer import render_raster
+
+            tr0 = time.time()
+            raster_only = _gbuffer(render_raster, mesh_buf, view,
+                                   opt.img_size)
+            sync(raster_only.alpha_map)
+            t_raster = time.time() - tr0
+            tr0 = time.time()
+            gb_nosh = _gbuffer(render_gbuffer, mesh_buf, view,
+                               opt.img_size, with_sh=False)
+            sync(gb_nosh["alpha_map"])
+            t_nosh = time.time() - tr0
+            tr0 = time.time()
+            gb = _gbuffer(render_gbuffer, mesh_buf, view, opt.img_size)
+            sync(gb["alpha_map"])
+            t_full = time.time() - tr0
+            stage_times["t_preproc"] = max(t_nosh - t_raster, 0.0)
+            stage_times["t_sh"] = max(t_full - t_nosh, 0.0)
+        else:
+            gb = _gbuffer(render_gbuffer, mesh_buf, view, opt.img_size)
+            sync(gb["alpha_map"])
+            t_raster = time.time() - batch_host_done
         if "raster_overflow" in gb and int(np.asarray(
                 gb["raster_overflow"]).sum()):
             print(f"WARNING view {i}: raster tile-binning overflow — "
@@ -221,7 +249,7 @@ def main(argv=None) -> None:
         batch = _to_batch(gb, gcn_pos)
         t_prep = batch_host_done - t0
 
-        times = {}
+        times = dict(stage_times)
         t0 = time.time()
         for name, lp, sh_coeff in lps:
             if staged is not None:
@@ -370,10 +398,10 @@ def _make_staged(model, state):
     return run
 
 
-def _gbuffer(render_gbuffer, mesh_buf, view, img_size):
+def _gbuffer(render_fn, mesh_buf, view, img_size, **kw):
     import jax.numpy as jnp
 
-    return render_gbuffer(
+    return render_fn(
         mesh_buf,
         jnp.asarray(view["proj"][None]),
         jnp.asarray(view["pose"][None]),
@@ -381,6 +409,7 @@ def _gbuffer(render_gbuffer, mesh_buf, view, img_size):
         None,
         None,
         img_size,
+        **kw,
     )
 
 

@@ -58,13 +58,7 @@ def _gather_face_attr(per_face: jax.Array, face_index_map: jax.Array):
     return per_face[idx]  # [N, S, S, 3, A]
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "image_size", "face_chunk", "with_high_maps", "sh_lmax", "backend",
-    ),
-)
-def render_gbuffer(
+def _project_and_raster(
     mesh: MeshBuffers,
     proj: jax.Array,
     pose: jax.Array,
@@ -72,35 +66,12 @@ def render_gbuffer(
     offset: jax.Array | None,
     scale: jax.Array | None,
     image_size: int,
-    near: float = 0.0,
-    far: float = 1e5,
-    face_chunk: int = 128,
-    with_high_maps: bool = True,
-    sh_lmax: int = 2,
-    backend: str = "auto",
-) -> dict[str, Any]:
-    """Render the full per-view G-buffer in one XLA program.
-
-    Args:
-      mesh: MeshBuffers.
-      proj: [N, 3, 3] intrinsics.
-      pose: [N, 4, 4] extrinsics (camera-from-world, already global_RT'd).
-      dist_coeffs: [N, 5].
-      offset, scale: [N, 2] crop/resize adjustments or None.
-      image_size: output side length S.
-      with_high_maps: also emit TBN / view-dir / tangent view-dir /
-        SH-basis / reflect-dir maps (the "high mesh" products of
-        precompute.py:167-253).
-
-    Returns a dict of maps in image orientation (row 0 = top):
-      uv_map [N,S,S,2], alpha_map [N,S,S], face_index_map [N,S,S],
-      weight_map [N,S,S,3,1] (perspective-corrected),
-      normal_map / normal_map_cam / position_map / position_map_cam
-      [N,S,S,3], depth_map [N,S,S], v_uvz [N,V,3], v_front_mask [N,V],
-      and with_high_maps: TBN_map [N,S,S,3,3], view_dir_map[_cam],
-      view_dir_map_tangent, sh_basis_map [N,S,S,(lmax+1)^2],
-      reflect_dir_map.
-    """
+    near: float,
+    far: float,
+    face_chunk: int,
+    backend: str,
+):
+    """Projection + z-buffer rasterization (the t_raster stage)."""
     R = pose[:, :3, :3]
     t = pose[:, :3, 3][:, None, :]
     s = image_size
@@ -129,6 +100,88 @@ def render_gbuffer(
         raster = rasterize_face_index(
             faces_ndc, s, near=near, far=far, face_chunk=face_chunk
         )
+    return v_ndc, faces_ndc, raster
+
+
+@partial(
+    jax.jit,
+    static_argnames=("image_size", "face_chunk", "backend"),
+)
+def render_raster(
+    mesh: MeshBuffers,
+    proj: jax.Array,
+    pose: jax.Array,
+    dist_coeffs: jax.Array,
+    offset: jax.Array | None,
+    scale: jax.Array | None,
+    image_size: int,
+    near: float = 0.0,
+    far: float = 1e5,
+    face_chunk: int = 128,
+    backend: str = "auto",
+):
+    """Raster stage alone (for the reference's t_raster timing bucket,
+    test_rnr.py:280-374): projection + winner-map z-buffer, no maps."""
+    _, _, raster = _project_and_raster(
+        mesh, proj, pose, dist_coeffs, offset, scale, image_size,
+        near, far, face_chunk, backend,
+    )
+    return raster
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "image_size", "face_chunk", "with_high_maps", "with_sh", "sh_lmax",
+        "backend",
+    ),
+)
+def render_gbuffer(
+    mesh: MeshBuffers,
+    proj: jax.Array,
+    pose: jax.Array,
+    dist_coeffs: jax.Array,
+    offset: jax.Array | None,
+    scale: jax.Array | None,
+    image_size: int,
+    near: float = 0.0,
+    far: float = 1e5,
+    face_chunk: int = 128,
+    with_high_maps: bool = True,
+    with_sh: bool = True,
+    sh_lmax: int = 2,
+    backend: str = "auto",
+) -> dict[str, Any]:
+    """Render the full per-view G-buffer in one XLA program.
+
+    Args:
+      mesh: MeshBuffers.
+      proj: [N, 3, 3] intrinsics.
+      pose: [N, 4, 4] extrinsics (camera-from-world, already global_RT'd).
+      dist_coeffs: [N, 5].
+      offset, scale: [N, 2] crop/resize adjustments or None.
+      image_size: output side length S.
+      with_high_maps: also emit TBN / view-dir / tangent view-dir /
+        SH-basis / reflect-dir maps (the "high mesh" products of
+        precompute.py:167-253).
+
+    Returns a dict of maps in image orientation (row 0 = top):
+      uv_map [N,S,S,2], alpha_map [N,S,S], face_index_map [N,S,S],
+      weight_map [N,S,S,3,1] (perspective-corrected),
+      normal_map / normal_map_cam / position_map / position_map_cam
+      [N,S,S,3], depth_map [N,S,S], v_uvz [N,V,3], v_front_mask [N,V],
+      and with_high_maps: TBN_map [N,S,S,3,3], view_dir_map[_cam],
+      view_dir_map_tangent, sh_basis_map [N,S,S,(lmax+1)^2],
+      reflect_dir_map.
+    """
+    R = pose[:, :3, :3]
+    t = pose[:, :3, 3][:, None, :]
+    s = image_size
+
+    v_ndc, faces_ndc, raster = _project_and_raster(
+        mesh, proj, pose, dist_coeffs, offset, scale, s,
+        near, far, face_chunk, backend,
+    )
     fim = raster.face_index_map
     depth = raster.depth_map
     alpha = raster.alpha_map
@@ -212,7 +265,6 @@ def render_gbuffer(
         vdt = vdt / jnp.maximum(
             jnp.linalg.norm(vdt, axis=-1, keepdims=True), 1e-12
         )
-        sh_basis_map = evaluate_sh_basis(sh_lmax, view_dir_map)
         reflect_dir_map = (
             get_reflect_dir(view_dir_map, normal_map) * alpha[..., None]
         )
@@ -221,7 +273,11 @@ def render_gbuffer(
             view_dir_map=view_dir_map,
             view_dir_map_cam=view_dir_map_cam,
             view_dir_map_tangent=vdt,
-            sh_basis_map=sh_basis_map,
             reflect_dir_map=reflect_dir_map,
         )
+        if with_sh:
+            # the reference's t_sh stage (test_rnr.py:321-329): per-pixel
+            # SH basis at the view directions; separable so staged timing
+            # can difference it out
+            out["sh_basis_map"] = evaluate_sh_basis(sh_lmax, view_dir_map)
     return out
