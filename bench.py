@@ -45,8 +45,14 @@ def main() -> None:
 
     img_size = int(os.environ.get("BENCH_IMG_SIZE", 512))
     batch_n = int(os.environ.get("BENCH_BATCH", 1))
-    # remat defaults on for batch>1 (batch 4 at 512^2 OOMs without it)
-    remat = bool(int(os.environ.get("BENCH_REMAT", 1 if batch_n > 1 else 0)))
+    # remat: "none" | "wide" | "all" (batch 4 at 512^2 OOMs with "none";
+    # "wide" remats only the two widest U-Net levels — most of the
+    # memory, half the recompute)
+    remat_env = os.environ.get(
+        "BENCH_REMAT", "wide" if batch_n > 1 else "none"
+    )
+    remat = {"0": False, "none": False, "1": True, "all": True,
+             "wide": "wide"}[remat_env.lower()]
     steps = int(os.environ.get("BENCH_STEPS", 5))
     gcn_blocks = int(os.environ.get("BENCH_GCN_BLOCKS", 20))
     gcn_v = int(os.environ.get("BENCH_V", 7500))

@@ -80,8 +80,10 @@ class RenderNetConfig:
     num_down_unet: int = 5
     norm: str = "batch"  # "batch" | "group" | "none"
     compute_dtype: str = "bfloat16"  # conv compute dtype; params stay f32
-    # rematerialize U-Net blocks in backward (enables batch>=4 at 512^2)
-    remat: bool = False
+    # rematerialize U-Net blocks in backward (enables batch>=4 at 512^2):
+    # False/"none" | True/"all" | "wide" (only the two widest levels +
+    # fusion block — most of the memory, half the recompute)
+    remat: bool | str = False
     # GCN fusion structure: "dense" (default) = constant-map conv
     # collapsed to a dense projection (models/unet.py::GcnFuseBlock,
     # ~3x fusion FLOP cut, identical function class — a conv over a
