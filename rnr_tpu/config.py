@@ -51,6 +51,12 @@ class RaysConfig:
     # v5e) into a matmul.  Explicit-probe relighting always uses the
     # sampling path.
     direct_sh_shading: bool = True
+    # Storage dtype of the [N,H,W,3,R] / [N,H,W,R,C] ray tensors — the
+    # largest activations of the step.  "bfloat16" halves their HBM
+    # traffic; all reductions over them (SH shading sums, chrom loss)
+    # accumulate in f32, and the SH basis itself is evaluated in f32
+    # (the lmax-10 Legendre ladder is precision-sensitive).
+    rays_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,10 +65,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lighting_relight_idx", default=None, type=int)
     # render net
     p.add_argument("--nf0", type=int, default=64)
+    p.add_argument("--rays_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of the per-ray tensors (bf16 "
+                        "halves their HBM traffic; reductions stay f32)")
     p.add_argument("--unet_remat", default=False,
-                   type=lambda x: str(x).lower() in ["true", "1"],
-                   help="rematerialize U-Net blocks (needed for batch>=4 "
-                        "at 512^2 on one chip)")
+                   type=lambda x: (
+                       x if str(x).lower() in ["wide", "all", "none"]
+                       else str(x).lower() in ["true", "1"]
+                   ),
+                   help="rematerialize U-Net blocks: false | all/true | "
+                        "wide (two widest levels only — needed for "
+                        "batch>=4 at 512^2 on one chip)")
     p.add_argument("--unet_fuse_mode", default="dense",
                    choices=["concat", "dense"],
                    help="GCN fusion structure: reference concat block or "
@@ -425,7 +433,7 @@ def main(argv=None) -> None:
             lighting_relight_idx=opt.lighting_relight_idx,
             fix_lighting=opt.fix_lighting, init_lighting=opt.init_lighting,
         ),
-        rays=RaysConfig(),
+        rays=RaysConfig(rays_dtype=opt.rays_dtype),
         gcn=GCNTrainConfig(
             kernel_size=opt.kernel_size, n_filters=opt.n_filters,
             n_blocks=opt.n_blocks, epsilon=opt.epsilon,

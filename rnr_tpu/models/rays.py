@@ -62,6 +62,7 @@ class RaySampler:
         tbn_matrices: jax.Array,
         view_dir_tangent: jax.Array,
         alpha_map: jax.Array,
+        with_uv: bool = True,
     ):
         """Sample the ray fan per pixel.
 
@@ -69,10 +70,14 @@ class RaySampler:
           tbn_matrices: [N, ..., 3, 3] tangent->world frames.
           view_dir_tangent: [N, ..., 3].
           alpha_map: [N, ..., 1].
+          with_uv: also compute the equirect probe UVs (atan2/acos per
+            ray — skip when shading directly from SH coefficients, which
+            never touches a probe).
 
         Returns:
           rays_dir [N, ..., 3, R] world-space,
-          rays_uv [N, ..., 2, R] probe UVs (= -1 at masked pixels),
+          rays_uv [N, ..., 2, R] probe UVs (= -1 at masked pixels; None
+            when with_uv=False),
           rays_dir_tangent ([N, ..., 3, R] or [3, R] in diffuse mode).
         """
         pivots = jnp.asarray(self.pivots_dir)  # [3, R]
@@ -91,6 +96,8 @@ class RaySampler:
         rays_dir = rays_dir / jnp.maximum(
             jnp.linalg.norm(rays_dir, axis=-2, keepdims=True), 1e-12
         )
+        if not with_uv:
+            return rays_dir, None, rays_dir_tangent
         # [N, 3, ...] expected by the batch spherical mapping: move the xyz
         # axis to position 1 (reference transposes the same way,
         # network.py:469).
@@ -203,6 +210,8 @@ def rays_lt_chrom_loss(
 
     Returns (loss, chrom, chrom_mean, chrom_diff).
     """
+    # chromaticity math in f32 even when rays_lt is stored bf16
+    rays_lt = rays_lt.astype(jnp.float32)
     # NaN trap: norm/maximum guards the VALUE at 0 but sqrt'(0) = inf
     # still reaches the backward pass (inf * 0 = NaN), and rays_lt hits
     # exactly (0,0,0) once the U-Net's tanh saturates to -1 late in
@@ -269,9 +278,15 @@ def ray_render_sh(
     coeff = sh_coeff * lp_scale_factor
 
     def shade_one(r):
-        d = jnp.moveaxis(rays_dir[..., r], 0, 0)          # [N, H, W, 3]
+        # basis evaluation in f32 regardless of ray storage dtype: the
+        # lmax-10 Legendre ladder loses ~all precision in bf16
+        d = rays_dir[..., r].astype(jnp.float32)          # [N, H, W, 3]
         basis = evaluate_sh_basis(sh_lmax, d)             # [N, H, W, B]
-        return jnp.einsum("nhwb,bc->nhwc", basis, coeff)
+        rc = jnp.einsum(
+            "nhwb,bc->nhwc", basis, coeff.astype(jnp.float32)
+        )
+        # store at the ray dtype (halves the [R,N,H,W,C] stack in bf16)
+        return rc.astype(rays_lt.dtype)
 
     # lax.map over the (static, small) ray axis keeps peak memory at one
     # [N, H, W, B] block.  jax.checkpoint: without it the scan's VJP
@@ -283,19 +298,24 @@ def ray_render_sh(
         jax.checkpoint(shade_one), jnp.arange(r_total)
     )                                                     # [R, N, H, W, C]
     rays_color = jnp.moveaxis(rays_color, 0, -2)          # [N, H, W, R, C]
-    rays_color = rays_color * alpha_map[..., None, :]
+    rays_color = rays_color * alpha_map[..., None, :].astype(rays_color.dtype)
+
+    # per-ray reductions accumulate in f32 (the casts fuse into the
+    # reduction — no f32 materialization of the big tensors)
+    def _sum_rays(lt, color):
+        return jnp.sum(
+            lt.astype(jnp.float32) * color.astype(jnp.float32), axis=-2
+        )
 
     ltt_specular = (
-        jnp.sum(rays_lt[..., :r_spec, :] * rays_color[..., :r_spec, :], axis=-2)
+        _sum_rays(rays_lt[..., :r_spec, :], rays_color[..., :r_spec, :])
         / r_spec
     )
     out_specular = ltt_specular if no_albedo else albedo_specular * ltt_specular
 
     if num_ray_diffuse > 0:
         ltt_diffuse = (
-            jnp.sum(
-                rays_lt[..., r_spec:, :] * rays_color[..., r_spec:, :], axis=-2
-            )
+            _sum_rays(rays_lt[..., r_spec:, :], rays_color[..., r_spec:, :])
             / num_ray_diffuse
         )
         if no_albedo:

@@ -162,45 +162,59 @@ class RNRModel(nn.Module):
         albedo_diffuse = neural_img[..., 0:3]
         albedo_specular = neural_img[..., 3:6]
 
+        # SH-direct shading never touches a probe, so the equirect ray
+        # UVs (atan2/acos per pixel-ray) are skipped on that path
+        use_sh = sh_coeff_override is not None or (
+            lp_override is None and c.rays.direct_sh_shading
+        )
         rays_dir_s, rays_uv_s, _ = self.ray_sampler(
-            batch["TBN_map"], batch["view_dir_map_tangent"], batch["alpha_map"]
+            batch["TBN_map"], batch["view_dir_map_tangent"],
+            batch["alpha_map"], with_uv=not use_sh,
         )
         rays_dir_d, rays_uv_d, _ = self.ray_sampler_diffuse(
-            batch["TBN_map"], batch["view_dir_map_tangent"], batch["alpha_map"]
+            batch["TBN_map"], batch["view_dir_map_tangent"],
+            batch["alpha_map"], with_uv=not use_sh,
         )
         from rnr_tpu.parallel.constraints import constrain
 
         # the [N, H, W, 3, R] ray tensors are the largest activations in
-        # the program — keep them row-sharded under a mesh
+        # the program — keep them row-sharded under a mesh, and store at
+        # the configured ray dtype (bf16 halves their HBM traffic;
+        # reductions over them accumulate in f32, see models/rays.py)
+        rdt = jnp.dtype(c.rays.rays_dtype)
         rays_dir = constrain(
-            jnp.concatenate([rays_dir_s, rays_dir_d], axis=-1), "dp", "sp"
+            jnp.concatenate([rays_dir_s, rays_dir_d], axis=-1).astype(rdt),
+            "dp", "sp",
         )
-        rays_uv = constrain(
-            jnp.concatenate([rays_uv_s, rays_uv_d], axis=-1), "dp", "sp"
-        )
-        r_total = rays_uv.shape[-1]
+        rays_uv = None
+        if not use_sh:
+            rays_uv = constrain(
+                jnp.concatenate([rays_uv_s, rays_uv_d], axis=-1), "dp", "sp"
+            )
+        r_total = rays_dir.shape[-1]
 
+        # all net_in components at the ray dtype: with rdt=bf16 this is
+        # numerically identical to the U-Net's own input cast (its first
+        # conv computes in bf16 either way) but halves the concat bytes
         net_in = jnp.concatenate(
             [
                 # [N,H,W,3,R] -> [N,H,W,R*3] with per-ray xyz grouping,
                 # mirroring the reference's channel order
                 # (train_rnr.py:530: rays as num_ray*3 leading channels).
                 jnp.swapaxes(rays_dir, -1, -2).reshape(n, h, w, r_total * 3),
-                batch["normal_map"],
-                batch["view_dir_map"],
-                neural_img,
+                batch["normal_map"].astype(rdt),
+                batch["view_dir_map"].astype(rdt),
+                neural_img.astype(rdt),
             ],
             axis=-1,
         )
         lt = self.render_net(net_in, v_feature, train=train)
         rays_lt = lt.reshape(n, h, w, r_total, 3)
         rays_lt = constrain(
-            (rays_lt * 0.5 + 0.5) * c.rays.lt_max_val, "dp", "sp"
+            ((rays_lt * 0.5 + 0.5) * c.rays.lt_max_val).astype(rdt),
+            "dp", "sp",
         )
 
-        use_sh = sh_coeff_override is not None or (
-            lp_override is None and c.rays.direct_sh_shading
-        )
         if use_sh:
             sh_coeff = (
                 sh_coeff_override

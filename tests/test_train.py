@@ -164,3 +164,44 @@ def test_dnr_train_loss_decreases(rng):
     ev = make_dnr_eval_step(cfg, mods)
     out = ev(state, batch)
     assert out.shape == (2, 32, 32, 3)
+
+
+def test_rnr_bf16_rays_match_f32():
+    """bf16 ray storage (rays_dtype) must agree with f32 to bf16 tolerance
+    and produce finite gradients (VERDICT r2 item 2's precision lever)."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    batch = _rnr_batch(rng)
+    cfg32 = _tiny_rnr_cfg()
+    cfg16 = dataclasses.replace(
+        cfg32, rays=dataclasses.replace(cfg32.rays, rays_dtype="bfloat16")
+    )
+    l_dir = _fib_sphere(64)
+    m32 = RNRModel(cfg=cfg32, l_dir=l_dir)
+    m16 = RNRModel(cfg=cfg16, l_dir=l_dir)
+    state, tx = create_rnr_state(m32, KEY, batch, cfg32.train.lr)
+    variables = {
+        "params": state.params, "constants": state.constants,
+        "spectral": state.spectral,
+    }
+    out32, _ = m32.apply(variables, batch, lighting_idx=0, train=False,
+                         mutable=["spectral"])
+    out16, _ = m16.apply(variables, batch, lighting_idx=0, train=False,
+                         mutable=["spectral"])
+    a, b = np.asarray(out32["img"]), np.asarray(out16["img"])
+    scale = max(np.abs(a).max(), 1e-3)
+    assert np.abs(a - b).max() / scale < 0.04, np.abs(a - b).max()
+
+    # gradients flow and are finite through the bf16 ray path
+    step16 = make_rnr_train_step(m16, tx)
+    nprng = np.random.default_rng(1)
+    statics = {
+        "l_samples_init": jnp.asarray(
+            nprng.uniform(0, 1, (64, 3)).astype(np.float32)),
+        "l_samples_mask": jnp.asarray(
+            (nprng.uniform(size=64) > 0.3).astype(np.float32)),
+        "tex_flatten_init": rnr_texture_flatten_init(m16, state.params),
+    }
+    new_state, metrics = step16(state, batch, statics, KEY)
+    assert np.isfinite(float(metrics["loss"]))
