@@ -9,8 +9,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
 
 The reference repo publishes no benchmark numbers (BASELINE.md) —
-vs_baseline is reported against a nominal 1.0 frames/s reference-class
-anchor so round-over-round progress is comparable.
+vs_baseline is the ratio to THIS framework's round-1 recorded value
+(BENCH_r01.json, 2.5951 frames/s) so it tracks round-over-round
+progress; it is not a reference ratio.
 
 Env overrides: BENCH_IMG_SIZE, BENCH_STEPS, BENCH_GCN_BLOCKS, BENCH_V.
 """
@@ -166,7 +167,11 @@ def main() -> None:
         float(m2["loss"])
         b2_fps = steps * 2 / (time.perf_counter() - t0)
 
-    baseline_fps = 1.0  # nominal anchor; reference publishes no numbers
+    # The reference publishes no numbers (BASELINE.md), so vs_baseline is
+    # anchored to this framework's ROUND-1 recorded value (BENCH_r01.json:
+    # 2.5951 frames/s at the canonical 512^2 config) — it tracks
+    # round-over-round progress, not a reference ratio.
+    baseline_fps = 2.5951 if img_size == 512 and batch_n == 1 else None
     result = {
         "metric": (
             f"rnr_train_{img_size}x{img_size}"
@@ -175,8 +180,12 @@ def main() -> None:
         ),
         "value": round(fps, 4),
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 4),
+        "vs_baseline": round(fps / baseline_fps, 4) if baseline_fps else None,
         "extras": {
+            "vs_baseline_anchor": (
+                "round-1 BENCH (2.5951 frames/s); reference publishes "
+                "no numbers" if baseline_fps else None
+            ),
             "train_rays_per_s": round(fps * rays_per_frame),
             "train_b2_frames_per_s": (
                 round(b2_fps, 4) if b2_fps else None
