@@ -8,8 +8,15 @@ hardware checks batch here:
      (interpret-mode CPU tests cover semantics; this gate catches
      Mosaic lowering divergence).
   4. Stratified-kNN Pallas kernel vs its XLA oracle on device.
+  5. Differentiable rasterization (rasterize_opt) fwd+bwd timing at
+     512^2 / 12k faces through the Pallas winner-map forward.
 
-Usage: python tools/tpu_smoke.py
+Emits a machine-readable gate record (kernel -> parity pass/fail +
+on-device ms) to the path in $KERNELS_JSON (default
+KERNELS_r.json beside the repo root) — the round-over-round
+regression tripwire for the Pallas kernels (VERDICT r2 item 6).
+
+Usage: [KERNELS_JSON=KERNELS_r03.json] python tools/tpu_smoke.py
 """
 
 from __future__ import annotations
@@ -58,8 +65,12 @@ def make_sphere(n_lat=64, n_lon=96, radius=0.5):
 
 
 def main():
+    import json
+
     import jax
     import jax.numpy as jnp
+
+    gates = {}
 
     from rnr_tpu.ops.projection import projection, vertices_to_faces
     from rnr_tpu.ops.rasterize import rasterize_face_index
@@ -114,6 +125,13 @@ def main():
         np.asarray(out_x.depth_map), np.asarray(out_p.depth_map), rtol=1e-4
     )
     print("depth allclose:", d_ok)
+    gates["rasterize_pallas"] = {
+        "pass": bool(agree > 0.999 and d_ok),
+        "face_index_agreement": round(float(agree), 6),
+        "depth_allclose": bool(d_ok),
+        "ms": round(t_pal * 1e3, 2),
+        "xla_oracle_ms": round(t_xla * 1e3, 2),
+    }
 
     # --- 2. full G-buffer ---------------------------------------------
     mesh = MeshBuffers(
@@ -129,10 +147,15 @@ def main():
     for _ in range(5):
         gb = render_gbuffer(mesh, K, pose, dist, None, None, S)
     _sync(gb["uv_map"])
-    print(f"gbuffer steady          {(time.perf_counter() - t0) / 5 * 1e3:7.1f} ms")
+    t_gb = (time.perf_counter() - t0) / 5
+    print(f"gbuffer steady          {t_gb * 1e3:7.1f} ms")
     alpha = np.asarray(gb["alpha_map"])
-    print(f"gbuffer alpha coverage  {alpha.mean():7.3f}  "
-          f"finite: {all(np.isfinite(np.asarray(x)).all() for x in gb.values())}")
+    gb_finite = all(np.isfinite(np.asarray(x)).all() for x in gb.values())
+    print(f"gbuffer alpha coverage  {alpha.mean():7.3f}  finite: {gb_finite}")
+    gates["render_gbuffer"] = {
+        "pass": bool(gb_finite and alpha.mean() > 0.01),
+        "ms": round(t_gb * 1e3, 2),
+    }
 
     # --- 3. texture kernels on device ---------------------------------
     from rnr_tpu.ops.texture_pallas import (
@@ -152,6 +175,10 @@ def main():
     )
     print(f"gather_taps on-device rel err {rel:.4f} overflow {int(ovf)} "
           f"({'OK' if rel < 0.01 else 'FAIL'})")
+    gates["texture_gather_taps"] = {
+        "pass": bool(rel < 0.01 and int(ovf) == 0),
+        "rel_err": round(rel, 6), "overflow": int(ovf),
+    }
     g = jnp.asarray(rng.standard_normal((1, S, S, 24)).astype(np.float32))
     gc = _chunk_values(g)
     dt, ovf2 = scatter_taps(xc, yc, gc, 512, 512)
@@ -161,6 +188,10 @@ def main():
     )
     print(f"scatter_taps on-device rel err {rel2:.4f} overflow {int(ovf2)} "
           f"({'OK' if rel2 < 0.01 else 'FAIL'})")
+    gates["texture_scatter_taps"] = {
+        "pass": bool(rel2 < 0.01 and int(ovf2) == 0),
+        "rel_err": round(rel2, 6), "overflow": int(ovf2),
+    }
 
     # --- 4. stratified kNN on device ----------------------------------
     from rnr_tpu.ops.knn_pallas import stratified_knn, stratified_knn_xla
@@ -171,7 +202,67 @@ def main():
     agree_k = (idx_p == idx_x).mean()
     print(f"stratified_knn on-device agreement {agree_k:.4f} "
           f"({'OK' if agree_k > 0.99 else 'FAIL'})")
-    assert rel < 0.01 and rel2 < 0.01 and agree_k > 0.99
+    gates["stratified_knn"] = {
+        "pass": bool(agree_k > 0.99),
+        "agreement": round(float(agree_k), 6),
+    }
+
+    # --- 5. differentiable raster (Pallas forward) fwd+bwd ------------
+    from rnr_tpu.ops.edge_grad import rasterize_opt
+
+    nf = 12000
+    ctr = rng.uniform(-0.9, 0.9, (nf, 1, 2)).astype(np.float32)
+    off = rng.uniform(-0.03, 0.03, (nf, 3, 2)).astype(np.float32)
+    zz = rng.uniform(1.5, 3.0, (nf, 1, 1)).astype(np.float32)
+    faces_opt = jnp.asarray(np.concatenate(
+        [ctr + off, np.broadcast_to(zz, (nf, 3, 1))], axis=-1
+    )[None])
+    tex_opt = jnp.asarray(
+        rng.uniform(0, 1, (1, nf, 2, 2, 2, 3)).astype(np.float32)
+    )
+    ro_fwd = jax.jit(lambda fc, t: rasterize_opt(
+        fc, t, 512, anti_aliasing=False, near=0.1, far=100.0)["rgb"])
+    out_f = ro_fwd(faces_opt, tex_opt)
+    _sync(out_f)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out_f = ro_fwd(faces_opt, tex_opt)
+    _sync(out_f)
+    t_rof = (time.perf_counter() - t0) / 5
+    ro_bwd = jax.jit(jax.grad(
+        lambda fc, t: jnp.sum(rasterize_opt(
+            fc, t, 512, anti_aliasing=False, near=0.1, far=100.0
+        )["rgb"] ** 2), argnums=(0, 1)))
+    gf, gt = ro_bwd(faces_opt, tex_opt)
+    _sync(gf)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        gf, gt = ro_bwd(faces_opt, tex_opt)
+    _sync(gf)
+    t_rob = (time.perf_counter() - t0) / 5
+    rob_finite = bool(
+        np.isfinite(np.asarray(gf)).all() and np.isfinite(np.asarray(gt)).all()
+    )
+    print(f"rasterize_opt 512^2/12k fwd {t_rof*1e3:7.1f} ms  "
+          f"fwd+bwd {t_rob*1e3:7.1f} ms  grads finite: {rob_finite}")
+    gates["rasterize_opt_diff"] = {
+        "pass": rob_finite,
+        "fwd_ms": round(t_rof * 1e3, 2),
+        "fwdbwd_ms": round(t_rob * 1e3, 2),
+        "config": "512^2, 12000 faces, rgb+alpha coverage grads",
+    }
+
+    out_path = os.environ.get("KERNELS_JSON", "")
+    if out_path:
+        record = {
+            "backend": jax.default_backend(),
+            "gates": gates,
+            "all_pass": all(g["pass"] for g in gates.values()),
+        }
+        with open(out_path, "w") as fh:
+            json.dump(record, fh, indent=1)
+        print("wrote", out_path)
+    assert all(g["pass"] for g in gates.values()), gates
 
 
 if __name__ == "__main__":
