@@ -1,0 +1,299 @@
+"""Pallas fused 3x3 stride-1 convolution (implicit GEMM) for the U-Net.
+
+The reference U-Net's FLOPs are dominated by 3x3 stride-1 convolutions
+(reference pytorch_prototyping.py:209-277: every DownBlock prep conv, the
+GCN fusion convs, every UpBlock post conv, and the in/out layers).  XLA's
+conv emitter reaches only ~25-30 TF/s bf16 on these NHWC shapes (round-2
+probes, CLAUDE.md); this kernel reformulates the conv as an explicit
+MXU matmul schedule:
+
+  * rows are tiled; each grid cell DMAs a [TH+2, W+2, C] halo tile from
+    HBM into VMEM (BlockSpec windows cannot overlap, so the halo copy is
+    manual),
+  * for each kernel row dy, the three column taps are concatenated into
+    one [TH*W, 3C] operand so a single dot contracts K = 3C at once
+    (K >= 192 keeps the 128-lane MXU contraction busy even at C = 64),
+  * three such dots accumulate into an f32 [TH*W, O] register tile,
+  * an optional epilogue fuses bias + LeakyReLU before the single
+    bf16 store — conv output never round-trips HBM in f32.
+
+The custom VJP runs the SAME kernel for the input gradient (conv with the
+spatially-rotated, transposed kernel — the classic dgrad identity) and a
+dedicated accumulating kernel for the weight gradient (per-tile
+[3C, TH*W] @ [TH*W, O] partials summed across the sequential TPU grid).
+
+Zero padding ("same") and reflect padding are both supported by
+pre-padding the input once in XLA; the kernel itself is padding-agnostic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_th(w: int, c: int, o: int, vmem_budget=10 * 1024 * 1024) -> int:
+    """Row-tile height: largest TH (multiple of 8, <= 64) fitting VMEM."""
+    for th in (64, 32, 16, 8):
+        xs = (th + 2) * (w + 2) * c * 2          # bf16 halo tile
+        acc = th * w * o * 4                      # f32 accumulator
+        out = th * w * o * 2
+        wgt = 3 * 3 * c * o * 2
+        if xs + acc + out + wgt <= vmem_budget and th <= w * 8:
+            return th
+    return 8
+
+
+def _conv_kernel(th, w, c, o, n_rows, slope, fuse_act, out_dtype):
+    """Forward kernel: out rows [i*TH, i*TH+TH) of a 3x3 s1 conv."""
+
+    def kernel(xp_ref, w_ref, b_ref, out_ref, xs, sem):
+        i = pl.program_id(1)
+        n = pl.program_id(0)
+        copy = pltpu.make_async_copy(
+            xp_ref.at[n, pl.ds(i * th, th + 2)], xs, sem
+        )
+        copy.start()
+        copy.wait()
+
+        acc = jnp.zeros((th * w, o), jnp.float32)
+        for dy in range(3):
+            xd = xs[dy:dy + th]  # [TH, W+2, C]
+            xcat = jnp.concatenate(
+                [xd[:, 0:w], xd[:, 1:w + 1], xd[:, 2:w + 2]], axis=-1
+            ).reshape(th * w, 3 * c)
+            acc = acc + jnp.dot(
+                xcat, w_ref[dy], preferred_element_type=jnp.float32
+            )
+        y = acc + b_ref[0].astype(jnp.float32)[None, :]
+        if fuse_act:
+            y = jnp.where(y > 0, y, slope * y)
+        out_ref[0] = y.reshape(th, w, o).astype(out_dtype)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("pad_mode", "fuse_act", "slope", "out_dtype",
+                     "interpret"),
+)
+def _conv3x3_fwd_impl(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    pad_mode: str = "same",
+    fuse_act: bool = False,
+    slope: float = 0.2,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """x [N,H,W,C] bf16, w [3,3,C,O], b [O] -> [N,H,W,O]."""
+    n, h, width, c = x.shape
+    o = w.shape[-1]
+    xp = jnp.pad(
+        x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+        mode="reflect" if pad_mode == "reflect" else "constant",
+    )
+    th = _pick_th(width, c, o)
+    grid_rows = pl.cdiv(h, th)
+    # rows beyond H pad with zeros (outputs there are dropped)
+    row_pad = grid_rows * th - h
+    if row_pad:
+        xp = jnp.pad(xp, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+
+    wk = w.astype(jnp.bfloat16).reshape(3, 3 * c, o)
+    # [dy] rows must pack (dx, c) in the same order the kernel builds
+    # xcat: concat over dx of [.., C] -> k index = dx*C + c.  w is
+    # [dy, dx, c, o] so reshape(3, 3*c, o) already matches.
+    bk = b.astype(jnp.float32).reshape(1, o)
+
+    kernel = _conv_kernel(
+        th, width, c, o, h, slope, fuse_act, jnp.dtype(out_dtype)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, grid_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),     # xp stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # bias
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, width, o), lambda nn, i: (nn, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, grid_rows * th, width, o), jnp.dtype(out_dtype)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, width + 2, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, wk, bk)
+    return out[:, :h]
+
+
+def _wgrad_kernel(th, w, c, o, grid_rows, n_batch):
+    """dW[dy, 3C, O] accumulated across the sequential grid."""
+
+    def kernel(xp_ref, g_ref, dw_ref, xs, sem):
+        i = pl.program_id(1)
+        n = pl.program_id(0)
+        copy = pltpu.make_async_copy(
+            xp_ref.at[n, pl.ds(i * th, th + 2)], xs, sem
+        )
+        copy.start()
+        copy.wait()
+
+        first = (i == 0) & (n == 0)
+
+        @pl.when(first)
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        g = g_ref[0].reshape(th * w, o)
+        for dy in range(3):
+            xd = xs[dy:dy + th]
+            xcat = jnp.concatenate(
+                [xd[:, 0:w], xd[:, 1:w + 1], xd[:, 2:w + 2]], axis=-1
+            ).reshape(th * w, 3 * c)
+            dw_ref[dy] = dw_ref[dy] + jax.lax.dot_general(
+                xcat, g,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("pad_mode", "interpret"))
+def _conv3x3_wgrad_impl(x, g, pad_mode="same", interpret=False):
+    """dW [3,3,C,O] f32 from x [N,H,W,C] and dOut [N,H,W,O]."""
+    n, h, width, c = x.shape
+    o = g.shape[-1]
+    xp = jnp.pad(
+        x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+        mode="reflect" if pad_mode == "reflect" else "constant",
+    )
+    th = _pick_th(width, c, o)
+    grid_rows = pl.cdiv(h, th)
+    row_pad = grid_rows * th - h
+    if row_pad:
+        xp = jnp.pad(xp, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+
+    kernel = _wgrad_kernel(th, width, c, o, grid_rows, n)
+    dw = pl.pallas_call(
+        kernel,
+        grid=(n, grid_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, th, width, o), lambda nn, i: (nn, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, 3 * c, o), lambda nn, i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, 3 * c, o), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, width + 2, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, g.astype(x.dtype))
+    return dw.reshape(3, 3, c, o)
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def conv3x3(x, w, b, pad_mode="same", fuse_act=False, slope=0.2,
+            interpret=False):
+    """Fused 3x3 stride-1 conv (+ optional bias + LeakyReLU), NHWC bf16.
+
+    Args:
+      x: [N, H, W, C] (bf16 recommended; any float works).
+      w: [3, 3, C, O] weights (f32 master; cast to bf16 inside).
+      b: [O] bias (pass zeros when the block is norm-followed — the
+        reference disables conv bias under a norm,
+        pytorch_prototyping.py:248).
+      pad_mode: "same" (zero) or "reflect" — matches models/unet.py.
+      fuse_act: apply LeakyReLU(slope) in the epilogue (valid only when
+        no norm sits between conv and activation).
+
+    Returns [N, H, W, O] in x.dtype.
+    """
+    return _conv3x3_fwd_impl(
+        x, w, b, pad_mode=pad_mode, fuse_act=fuse_act, slope=slope,
+        out_dtype=x.dtype, interpret=interpret,
+    )
+
+
+def _conv3x3_fwd(x, w, b, pad_mode, fuse_act, slope, interpret):
+    out = _conv3x3_fwd_impl(
+        x, w, b, pad_mode=pad_mode, fuse_act=fuse_act, slope=slope,
+        out_dtype=x.dtype, interpret=interpret,
+    )
+    return out, (x, w, out if fuse_act else None)
+
+
+def _conv3x3_bwd(pad_mode, fuse_act, slope, interpret, res, g):
+    x, w, out = res
+    g = g.astype(x.dtype)
+    if fuse_act:
+        # LeakyReLU is sign-preserving, so act'(pre) reads off the OUTPUT
+        # sign — no pre-activation residual needed.
+        g = jnp.where(out > 0, g, (slope * g.astype(jnp.float32)).astype(
+            x.dtype))
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+
+    # dgrad: conv3x3 of g with the rotated, io-transposed kernel (the
+    # classic identity — exact for zero padding).
+    w_rot = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))  # [3,3,O,C]
+    zeros_c = jnp.zeros((w.shape[2],), jnp.float32)
+    if pad_mode == "same":
+        dx = _conv3x3_fwd_impl(
+            g, w_rot, zeros_c, pad_mode="same", fuse_act=False,
+            slope=slope, out_dtype=jnp.float32, interpret=interpret,
+        )
+    else:
+        # reflect: d(conv ∘ reflect_pad) = reflect_pad^T ∘ d(conv).
+        # The padded-input gradient dxp [H+2, W+2] is the FULL
+        # correlation of g with w_rot — run the same kernel on g
+        # zero-padded by one ring; then apply the exact adjoint of
+        # reflect-pad: take the interior and fold the ring inward
+        # (xp[0] = x[1] => dx[1] += dxp[0], etc.; corners compose).
+        gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        dxp = _conv3x3_fwd_impl(
+            gp, w_rot, zeros_c, pad_mode="same", fuse_act=False,
+            slope=slope, out_dtype=jnp.float32, interpret=interpret,
+        )
+        dx = dxp[:, 1:-1, 1:-1]
+        dx = dx.at[:, 1, :].add(dxp[:, 0, 1:-1])
+        dx = dx.at[:, -2, :].add(dxp[:, -1, 1:-1])
+        dx = dx.at[:, :, 1].add(dxp[:, 1:-1, 0])
+        dx = dx.at[:, :, -2].add(dxp[:, 1:-1, -1])
+        dx = dx.at[:, 1, 1].add(dxp[:, 0, 0])
+        dx = dx.at[:, 1, -2].add(dxp[:, 0, -1])
+        dx = dx.at[:, -2, 1].add(dxp[:, -1, 0])
+        dx = dx.at[:, -2, -2].add(dxp[:, -1, -1])
+    return dx.astype(x.dtype), _conv3x3_wgrad_impl(
+        x, g, pad_mode=pad_mode, interpret=interpret
+    ).astype(w.dtype), db.astype(jnp.float32)
+
+
+conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)

@@ -1,0 +1,117 @@
+"""Interpret-mode parity of the Pallas fused conv3x3 vs the XLA conv.
+
+Covers forward values (same + reflect padding, fused LeakyReLU) and the
+custom VJP's input/weight/bias gradients against autodiff of the XLA
+reference — including the reflect-pad adjoint's border folds.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rnr_tpu.ops.conv_pallas import conv3x3
+
+
+def _xla_ref(x, w, b, pad_mode="same", fuse_act=False, slope=0.2):
+    if pad_mode == "reflect":
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        pad = "VALID"
+    else:
+        pad = "SAME"
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + b[None, None, None, :]
+    if fuse_act:
+        y = jnp.where(y > 0, y, slope * y)
+    return y
+
+
+def _data(h=32, w=32, c=8, o=16, n=2, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)).astype(np.float32))
+    wgt = jnp.asarray(
+        (rng.standard_normal((3, 3, c, o)) * 0.2).astype(np.float32)
+    )
+    b = jnp.asarray(rng.standard_normal(o).astype(np.float32))
+    return x, wgt, b
+
+
+class TestForward:
+    def test_same_pad(self):
+        x, w, b = _data()
+        got = conv3x3(x, w, b, "same", False, 0.2, True)
+        want = _xla_ref(x, w, b, "same")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=2e-2
+        )
+
+    def test_reflect_pad(self):
+        x, w, b = _data(seed=1)
+        got = conv3x3(x, w, b, "reflect", False, 0.2, True)
+        want = _xla_ref(x, w, b, "reflect")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=2e-2
+        )
+
+    def test_fused_act(self):
+        x, w, b = _data(seed=2)
+        got = conv3x3(x, w, b, "same", True, 0.2, True)
+        want = _xla_ref(x, w, b, "same", fuse_act=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=2e-2
+        )
+
+    def test_row_remainder(self):
+        # H not a multiple of the row tile: padded rows must be dropped
+        x, w, b = _data(h=40, w=16, c=8, o=8, seed=3)
+        got = conv3x3(x, w, b, "same", False, 0.2, True)
+        want = _xla_ref(x, w, b, "same")
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=2e-2
+        )
+
+
+class TestBackward:
+    def _check_grads(self, pad_mode, fuse_act, seed):
+        x, w, b = _data(h=16, w=16, c=4, o=8, n=1, seed=seed)
+        rng = np.random.default_rng(seed + 10)
+        cot = jnp.asarray(
+            rng.standard_normal((1, 16, 16, 8)).astype(np.float32)
+        )
+        if fuse_act:
+            # bf16-vs-f32 conv rounding can flip the LeakyReLU kink sign
+            # at near-zero pre-activations; zero the cotangent there so
+            # the comparison tests the VJP rule, not kink tie-breaking
+            pre = _xla_ref(x, w, b, pad_mode, fuse_act=False)
+            cot = cot * (jnp.abs(pre) > 0.05)
+
+        def loss_pallas(x, w, b):
+            return jnp.sum(
+                conv3x3(x, w, b, pad_mode, fuse_act, 0.2, True)
+                .astype(jnp.float32) * cot
+            )
+
+        def loss_xla(x, w, b):
+            return jnp.sum(_xla_ref(x, w, b, pad_mode, fuse_act) * cot)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, w, b)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, w, b)
+        for a, e, name in zip(gp, gx, ("dx", "dw", "db")):
+            scale = np.abs(np.asarray(e)).max() + 1e-6
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(e) / scale,
+                rtol=0, atol=3e-2, err_msg=f"{pad_mode} {name}",
+            )
+
+    def test_grads_same(self):
+        self._check_grads("same", False, 0)
+
+    def test_grads_reflect(self):
+        self._check_grads("reflect", False, 1)
+
+    def test_grads_fused_act(self):
+        self._check_grads("same", True, 2)
