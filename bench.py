@@ -54,6 +54,8 @@ def main() -> None:
     )
     remat = {"0": False, "none": False, "1": True, "all": True,
              "wide": "wide"}[remat_env.lower()]
+    conv_backend = os.environ.get("BENCH_CONV_BACKEND", "xla")
+    rays_dtype = os.environ.get("BENCH_RAYS_DTYPE", "float32")
     steps = int(os.environ.get("BENCH_STEPS", 5))
     gcn_blocks = int(os.environ.get("BENCH_GCN_BLOCKS", 20))
     gcn_v = int(os.environ.get("BENCH_V", 7500))
@@ -71,6 +73,8 @@ def main() -> None:
         num_polar=2,
         batch=batch_n,
         remat=remat,
+        rays_dtype=rays_dtype,
+        conv_backend=conv_backend,
     )
 
     rng = jax.random.PRNGKey(0)
@@ -145,6 +149,7 @@ def main() -> None:
             img_size=img_size, tex_size=512, lmax=10, num_sample=4096,
             nf0=64, num_down=5, gcn_blocks=gcn_blocks, gcn_v=gcn_v,
             num_azi=6, num_polar=2, batch=2, remat=remat,
+            rays_dtype=rays_dtype, conv_backend=conv_backend,
         )
         state2, tx2 = create_rnr_state(
             model2, jax.random.PRNGKey(0), batch2, cfg2.train.lr

@@ -100,6 +100,9 @@ class RenderNetConfig:
     # zero-padded convs (faster on TPU; differs only in the outermost
     # pixel ring, which the training loss crops)
     pad_mode: str = "reflect"
+    # 3x3 stride-1 conv backend: "xla" or "pallas" (the implicit-GEMM
+    # fused kernel, ops/conv_pallas.py)
+    conv_backend: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

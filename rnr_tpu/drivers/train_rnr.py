@@ -81,6 +81,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["concat", "dense"],
                    help="GCN fusion structure: reference concat block or "
                         "the dense-collapsed TPU variant")
+    p.add_argument("--unet_conv_backend", default="xla",
+                   choices=["xla", "pallas"],
+                   help="3x3 stride-1 conv backend (pallas = the fused "
+                        "implicit-GEMM kernel on TPU)")
     p.add_argument("--unet_pad_mode", default="reflect",
                    choices=["reflect", "same"],
                    help="U-Net conv padding: reflect = reference parity; "
@@ -444,6 +448,7 @@ def main(argv=None) -> None:
             stratum_width=opt.stratum_width,
         ),
         render_net=RenderNetConfig(nf0=opt.nf0, remat=opt.unet_remat,
+                                   conv_backend=opt.unet_conv_backend,
                                    fuse_mode=opt.unet_fuse_mode,
                                    pad_mode=opt.unet_pad_mode),
         loss=LossConfig(

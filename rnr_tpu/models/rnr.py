@@ -69,6 +69,7 @@ class RNRModel(nn.Module):
             remat=c.render_net.remat,
             fuse_mode=c.render_net.fuse_mode,
             pad_mode=c.render_net.pad_mode,
+            conv_backend=c.render_net.conv_backend,
         )
         if c.use_gcn:
             self.gcn = DenseDeepGCN(

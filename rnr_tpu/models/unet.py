@@ -41,6 +41,64 @@ def _reflect_pad(x: jax.Array, p: int) -> jax.Array:
     return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
 
 
+class Conv(nn.Module):
+    """3x3 stride-1 conv with a selectable backend, param-compatible with
+    nn.Conv (same auto-name prefix, same kernel/bias names, shapes and
+    initializers — flax shares the "Conv_k" counter between this class
+    and nn.Conv, so checkpoints are interchangeable across backends).
+
+    backend "pallas" routes through the implicit-GEMM Pallas kernel
+    (ops/conv_pallas.py) on TPU; "xla" (default) is the stock conv.
+    Padding (reflect or zero-SAME) is handled inside, so call sites do
+    NOT pre-pad.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+    pad_mode: str = "reflect"
+    backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (3, 3, c, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+            if self.use_bias else None
+        )
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        use_pallas = self.backend == "pallas_interpret" or (
+            self.backend == "pallas"
+            and jax.default_backend() not in ("cpu",)
+        )
+        if use_pallas:
+            from rnr_tpu.ops.conv_pallas import conv3x3
+
+            b = bias if bias is not None else jnp.zeros(
+                (self.features,), jnp.float32
+            )
+            return conv3x3(x, kernel, b, self.pad_mode, False, 0.2,
+                           self.backend == "pallas_interpret")
+        if self.pad_mode == "reflect":
+            x = _reflect_pad(x, 1)
+            pad = "VALID"
+        else:
+            pad = "SAME"
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(dt), (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
+
+
 class BatchActNorm(nn.Module):
     """Affine normalization by current-batch statistics over (N, H, W).
 
@@ -95,6 +153,7 @@ class DownBlock(nn.Module):
     # conv (no pre-pad materialization — faster on TPU, differs only in
     # the outermost pixel ring, which the training loss crops anyway)
     pad_mode: str = "reflect"
+    conv_backend: str = "xla"
 
     def _pad(self, x, p):
         return _reflect_pad(x, p) if self.pad_mode == "reflect" else x
@@ -109,23 +168,28 @@ class DownBlock(nn.Module):
         use_bias = self.norm == "none"
         if self.prep_conv:
             mid = self.middle_ch or x.shape[-1]
-            x = self._pad(x, 1)
-            x = nn.Conv(mid, (3, 3), padding=self._conv_pad,
-                        use_bias=use_bias, dtype=self.dtype)(x)
+            x = Conv(mid, use_bias=use_bias, dtype=self.dtype,
+                     pad_mode=self.pad_mode,
+                     backend=self.conv_backend)(x)
             if (norm := _make_norm(self.norm)) is not None:
                 x = norm(x)
             x = nn.leaky_relu(x, 0.2)
             if self.use_dropout:
                 x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
-        x = self._pad(x, 1)
-        x = nn.Conv(
-            self.out_ch,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=self._conv_pad,
-            use_bias=use_bias,
-            dtype=self.dtype,
-        )(x)
+        if self.kernel == 3 and self.stride == 1:
+            x = Conv(self.out_ch, use_bias=use_bias, dtype=self.dtype,
+                     pad_mode=self.pad_mode,
+                     backend=self.conv_backend)(x)
+        else:
+            x = self._pad(x, 1)
+            x = nn.Conv(
+                self.out_ch,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=self._conv_pad,
+                use_bias=use_bias,
+                dtype=self.dtype,
+            )(x)
         if (norm := _make_norm(self.norm)) is not None:
             x = norm(x)
         x = nn.leaky_relu(x, 0.2)
@@ -148,6 +212,7 @@ class UpBlock(nn.Module):
     dtype: jnp.dtype | None = None
     train: bool = True
     pad_mode: str = "reflect"
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -163,12 +228,9 @@ class UpBlock(nn.Module):
         if self.use_dropout:
             x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
         if self.post_conv:
-            if self.pad_mode == "reflect":
-                x = _reflect_pad(x, 1)
-            x = nn.Conv(self.out_ch, (3, 3),
-                        padding="VALID" if self.pad_mode == "reflect"
-                        else "SAME",
-                        use_bias=use_bias, dtype=self.dtype)(x)
+            x = Conv(self.out_ch, use_bias=use_bias, dtype=self.dtype,
+                     pad_mode=self.pad_mode,
+                     backend=self.conv_backend)(x)
             if (norm := _make_norm(self.norm)) is not None:
                 x = norm(x)
             x = nn.relu(x)
@@ -206,17 +268,15 @@ class GcnFuseBlock(nn.Module):
     dtype: jnp.dtype | None = None
     train: bool = True
     pad_mode: str = "reflect"
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(self, h: jax.Array, v: jax.Array) -> jax.Array:
         train = self.train
         use_bias = self.norm == "none"
-        refl = self.pad_mode == "reflect"
-        cpad = "VALID" if refl else "SAME"
         mid = h.shape[-1] + v.shape[-1]  # = concat width, as reference
-        x = _reflect_pad(h, 1) if refl else h
-        x = nn.Conv(mid, (3, 3), padding=cpad, use_bias=use_bias,
-                    dtype=self.dtype)(x)
+        x = Conv(mid, use_bias=use_bias, dtype=self.dtype,
+                 pad_mode=self.pad_mode, backend=self.conv_backend)(h)
         x = x + nn.Dense(mid, use_bias=False, dtype=self.dtype)(
             v
         )[:, None, None, :]
@@ -225,9 +285,8 @@ class GcnFuseBlock(nn.Module):
         x = nn.leaky_relu(x, 0.2)
         if self.use_dropout:
             x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
-        x = _reflect_pad(x, 1) if refl else x
-        x = nn.Conv(self.out_ch, (3, 3), padding=cpad, use_bias=use_bias,
-                    dtype=self.dtype)(x)
+        x = Conv(self.out_ch, use_bias=use_bias, dtype=self.dtype,
+                 pad_mode=self.pad_mode, backend=self.conv_backend)(x)
         if (norm := _make_norm(self.norm)) is not None:
             x = norm(x)
         x = nn.leaky_relu(x, 0.2)
@@ -273,6 +332,9 @@ class Unet(nn.Module):
     # convs (no pre-pad materialization; differs only in the outermost
     # pixel ring, which the training loss crops)
     pad_mode: Literal["reflect", "same"] = "reflect"
+    # "xla" = stock conv; "pallas" = the implicit-GEMM fused kernel
+    # (ops/conv_pallas.py) for every 3x3 stride-1 conv on TPU
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(
@@ -288,8 +350,6 @@ class Unet(nn.Module):
                 return nn.remat(cls)
             return cls
 
-        refl = self.pad_mode == "reflect"
-        cpad = "VALID" if refl else "SAME"
         cdtype = jnp.dtype(self.compute_dtype)
         x = x.astype(cdtype)
         if v_fea is not None:
@@ -306,9 +366,8 @@ class Unet(nn.Module):
 
         # in layer (pytorch_prototyping.py:470-481)
         use_bias_in = self.norm == "none"
-        h = _reflect_pad(x, 1) if refl else x
-        h = nn.Conv(self.nf0, (3, 3), padding=cpad, use_bias=use_bias_in,
-                    dtype=cdtype)(h)
+        h = Conv(self.nf0, use_bias=use_bias_in, dtype=cdtype,
+                 pad_mode=self.pad_mode, backend=self.conv_backend)(x)
         if (norm := _make_norm(self.norm)) is not None:
             h = norm(h)
         h = nn.leaky_relu(h, 0.2)
@@ -328,6 +387,7 @@ class Unet(nn.Module):
                 dtype=cdtype,
                 train=train,
                 pad_mode=self.pad_mode,
+                conv_backend=self.conv_backend,
             )(h)
             # under a device mesh, keep every level's activation
             # (dp, sp)-sharded — batch over dp, image rows over sp —
@@ -345,6 +405,7 @@ class Unet(nn.Module):
                         dtype=cdtype,
                         train=train,
                         pad_mode=self.pad_mode,
+                        conv_backend=self.conv_backend,
                     )(h, v_fea)
                 else:
                     tiled = jnp.broadcast_to(
@@ -364,6 +425,7 @@ class Unet(nn.Module):
                         dtype=cdtype,
                         train=train,
                         pad_mode=self.pad_mode,
+                        conv_backend=self.conv_backend,
                     )(h)
 
         # decoder with per-level skip concat
@@ -377,6 +439,7 @@ class Unet(nn.Module):
                 dtype=cdtype,
                 train=train,
                 pad_mode=self.pad_mode,
+                conv_backend=self.conv_backend,
             )(h)
             h = constrain(h, "dp", "sp")
             if i == 0:
@@ -391,9 +454,8 @@ class Unet(nn.Module):
 
         # out layer (pytorch_prototyping.py:508-528)
         out_bias = self.outermost_linear or self.norm == "none"
-        h = _reflect_pad(h, 1) if refl else h
-        h = nn.Conv(self.out_channels, (3, 3), padding=cpad, use_bias=out_bias,
-                    dtype=cdtype)(h)
+        h = Conv(self.out_channels, use_bias=out_bias, dtype=cdtype,
+                 pad_mode=self.pad_mode, backend=self.conv_backend)(h)
         if not self.outermost_linear:
             if (norm := _make_norm(self.norm)) is not None:
                 h = norm(h)
@@ -418,6 +480,7 @@ class RenderingNet(nn.Module):
     remat: bool | str = False
     fuse_mode: str = "concat"
     pad_mode: str = "reflect"
+    conv_backend: str = "xla"
 
     @nn.compact
     def __call__(
@@ -440,5 +503,6 @@ class RenderingNet(nn.Module):
             remat=self.remat,
             fuse_mode=self.fuse_mode,  # type: ignore[arg-type]
             pad_mode=self.pad_mode,  # type: ignore[arg-type]
+            conv_backend=self.conv_backend,
         )(x, v_fea, train=train)
         return jnp.tanh(y.astype(jnp.float32))

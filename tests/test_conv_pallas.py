@@ -115,3 +115,34 @@ class TestBackward:
 
     def test_grads_fused_act(self):
         self._check_grads("same", True, 2)
+
+
+def test_unet_conv_backend_parity():
+    """Full U-Net forward: pallas conv backend (interpret) vs xla, same
+    params — pins the integration (padding handled inside Conv, no
+    double-pad; param tree identical across backends)."""
+    from rnr_tpu.models.unet import Unet
+
+    def build(backend):
+        return Unet(
+            in_channels=6, out_channels=4, nf0=8, num_down=2,
+            max_channels=16, use_dropout=False, norm="batch",
+            use_gcn=False, compute_dtype="float32",
+            pad_mode="reflect", conv_backend=backend,
+        )
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 16, 16, 6))
+        .astype(np.float32)
+    )
+    vx = build("xla").init(jax.random.PRNGKey(0), x, None, train=False)
+    yx = build("xla").apply(vx, x, None, train=False)
+    yp = build("pallas_interpret").apply(vx, x, None, train=False)
+    np.testing.assert_allclose(
+        np.asarray(yx), np.asarray(yp), rtol=0, atol=5e-2
+    )
+    # same param tree
+    assert jax.tree.structure(vx) == jax.tree.structure(
+        build("pallas_interpret").init(jax.random.PRNGKey(0), x, None,
+                                       train=False)
+    )
