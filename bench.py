@@ -172,6 +172,59 @@ def main() -> None:
         float(m2["loss"])
         b2_fps = steps * 2 / (time.perf_counter() - t0)
 
+    # 1024^2 capability point (VERDICT r2 item 9): same model, 4x pixels.
+    # Compiles are served from the persistent cache after the first run;
+    # BENCH_1024=0 skips.
+    t1024_fps = i1024_fps = None
+    if (img_size == 512 and batch_n == 1
+            and int(os.environ.get("BENCH_1024", 1))):
+        from rnr_tpu.train.steps import make_rnr_eval_step
+
+        cfgK, modelK, batchK = _build(
+            img_size=1024, tex_size=512, lmax=10, num_sample=4096,
+            nf0=64, num_down=5, gcn_blocks=gcn_blocks, gcn_v=gcn_v,
+            num_azi=6, num_polar=2, batch=1, remat=remat,
+            rays_dtype=rays_dtype, conv_backend=conv_backend,
+        )
+        stateK, txK = create_rnr_state(
+            modelK, jax.random.PRNGKey(0), batchK, cfgK.train.lr
+        )
+        staticsK = dict(
+            statics,
+            tex_flatten_init=rnr_texture_flatten_init(
+                modelK, stateK.params
+            ),
+        )
+        stepK = make_rnr_train_step(modelK, txK)
+        n1024 = max(2, steps // 2)
+        for _ in range(2):
+            rng, sub = jax.random.split(rng)
+            stateK, mK = stepK(stateK, batchK, staticsK, sub)
+        float(mK["loss"])
+        t0 = time.perf_counter()
+        for _ in range(n1024):
+            rng, sub = jax.random.split(rng)
+            stateK, mK = stepK(stateK, batchK, staticsK, sub)
+        float(mK["loss"])
+        t1024_fps = n1024 / (time.perf_counter() - t0)
+
+        eval_stepK = make_rnr_eval_step(modelK)
+        variablesK = {
+            "params": stateK.params, "constants": stateK.constants,
+            "spectral": stateK.spectral,
+        }
+        v_featK = modelK.apply(
+            variablesK, batchK["gcn_pos"],
+            method=lambda m, p_: m.compute_v_feature(p_),
+        )
+        outK = eval_stepK(stateK, batchK, v_feature=v_featK)
+        float(jnp.sum(outK["img"][0, 0, 0]))
+        t0 = time.perf_counter()
+        for _ in range(n1024):
+            outK = eval_stepK(stateK, batchK, v_feature=v_featK)
+        float(jnp.sum(outK["img"][0, 0, 0]))
+        i1024_fps = n1024 / (time.perf_counter() - t0)
+
     # The reference publishes no numbers (BASELINE.md), so vs_baseline is
     # anchored to this framework's ROUND-1 recorded value (BENCH_r01.json:
     # 2.5951 frames/s at the canonical 512^2 config) — it tracks
@@ -200,6 +253,12 @@ def main() -> None:
             ),
             "infer_rays_per_s": (
                 round(infer_fps * rays_per_frame) if infer_fps else None
+            ),
+            "train_1024_frames_per_s": (
+                round(t1024_fps, 4) if t1024_fps else None
+            ),
+            "infer_1024_frames_per_s": (
+                round(i1024_fps, 4) if i1024_fps else None
             ),
         },
     }
