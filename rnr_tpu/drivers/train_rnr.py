@@ -81,6 +81,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["concat", "dense"],
                    help="GCN fusion structure: reference concat block or "
                         "the dense-collapsed TPU variant")
+    p.add_argument("--unet_compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="U-Net conv compute dtype (params stay f32)")
     p.add_argument("--unet_conv_backend", default="xla",
                    choices=["xla", "pallas"],
                    help="3x3 stride-1 conv backend (pallas = the fused "
@@ -448,6 +451,7 @@ def main(argv=None) -> None:
             stratum_width=opt.stratum_width,
         ),
         render_net=RenderNetConfig(nf0=opt.nf0, remat=opt.unet_remat,
+                                   compute_dtype=opt.unet_compute_dtype,
                                    conv_backend=opt.unet_conv_backend,
                                    fuse_mode=opt.unet_fuse_mode,
                                    pad_mode=opt.unet_pad_mode),

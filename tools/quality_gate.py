@@ -38,6 +38,25 @@ ABLATIONS = {
     "strat_refresh4": ["--knn_approx", "true", "--knn_recall", "0.9",
                        "--strat_min_dilation", "3",
                        "--graph_refresh_every", "4"],
+    # --- round-3 precision/backend ablations (run vs default_strat) ---
+    # bf16 ray-tensor storage (f32 accumulation everywhere reduced)
+    "rays_bf16": ["--knn_approx", "true", "--knn_recall", "0.9",
+                  "--strat_min_dilation", "3",
+                  "--rays_dtype", "bfloat16"],
+    # f32 U-Net/texture compute — isolates the shipped bf16 conv delta
+    # (PARITY.md "known deltas"; VERDICT r2 item 4)
+    "unet_f32": ["--knn_approx", "true", "--knn_recall", "0.9",
+                 "--strat_min_dilation", "3",
+                 "--unet_compute_dtype", "float32"],
+    # Pallas implicit-GEMM conv backend for every 3x3 stride-1 conv
+    "conv_pallas": ["--knn_approx", "true", "--knn_recall", "0.9",
+                    "--strat_min_dilation", "3",
+                    "--unet_conv_backend", "pallas"],
+    # bf16 rays + pallas convs together (the round-3 perf defaults)
+    "r3_fast": ["--knn_approx", "true", "--knn_recall", "0.9",
+                "--strat_min_dilation", "3",
+                "--rays_dtype", "bfloat16",
+                "--unet_conv_backend", "pallas"],
 }
 
 
@@ -46,8 +65,11 @@ def main():
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--img", type=int, default=128)
     ap.add_argument("--root", type=str, default=None)
+    # round-3 precision/backend variants are opt-in (pass them via
+    # --ablations); the default set is the graph-construction gate
     ap.add_argument("--ablations", type=str,
-                    default=",".join(ABLATIONS))
+                    default="default_strat,approx_windowed,exact,"
+                            "strat_refresh4")
     args = ap.parse_args()
 
     from test_pipeline_e2e import make_scene
