@@ -42,18 +42,21 @@ def _reflect_pad(x: jax.Array, p: int) -> jax.Array:
 
 
 class Conv(nn.Module):
-    """3x3 stride-1 conv with a selectable backend, param-compatible with
-    nn.Conv (same auto-name prefix, same kernel/bias names, shapes and
+    """Conv with a selectable backend, param-compatible with nn.Conv
+    (same auto-name prefix, same kernel/bias names, shapes and
     initializers — flax shares the "Conv_k" counter between this class
     and nn.Conv, so checkpoints are interchangeable across backends).
 
-    backend "pallas" routes through the implicit-GEMM Pallas kernel
-    (ops/conv_pallas.py) on TPU; "xla" (default) is the stock conv.
-    Padding (reflect or zero-SAME) is handled inside, so call sites do
-    NOT pre-pad.
+    backend "pallas" routes 3x3 stride-1 convs through the implicit-GEMM
+    kernel and 4x4 stride-2 convs through the parity-decomposed down
+    kernel (ops/conv_pallas.py) on TPU; "xla" (default) is the stock
+    conv.  Padding (reflect or zero-SAME) is handled inside, so call
+    sites do NOT pre-pad.
     """
 
     features: int
+    kernel_size: int = 3
+    stride: int = 1
     use_bias: bool = True
     dtype: jnp.dtype | None = None
     pad_mode: str = "reflect"
@@ -62,9 +65,68 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
+        k = self.kernel_size
         kernel = self.param(
             "kernel", nn.linear.default_kernel_init,
-            (3, 3, c, self.features), jnp.float32,
+            (k, k, c, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+            if self.use_bias else None
+        )
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        use_pallas = self.backend == "pallas_interpret" or (
+            self.backend == "pallas"
+            and jax.default_backend() not in ("cpu",)
+        )
+        interp = self.backend == "pallas_interpret"
+        if use_pallas and k == 3 and self.stride == 1:
+            from rnr_tpu.ops.conv_pallas import conv3x3
+
+            b = bias if bias is not None else jnp.zeros(
+                (self.features,), jnp.float32
+            )
+            return conv3x3(x, kernel, b, self.pad_mode, False, 0.2, interp)
+        if use_pallas and k == 4 and self.stride == 2:
+            from rnr_tpu.ops.conv_pallas import down4
+
+            y = down4(x, kernel, self.pad_mode, interp)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+        if self.pad_mode == "reflect":
+            x = _reflect_pad(x, 1)
+            pad = "VALID"
+        else:
+            pad = "SAME"
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(dt), (self.stride, self.stride), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias.astype(dt)
+        return y
+
+
+class ConvTranspose(nn.Module):
+    """4x4 stride-2 SAME transpose conv, param-compatible with
+    nn.ConvTranspose; backend "pallas" = the parity-decomposed kernel
+    (ops/conv_pallas.py::convt4 — computes only the 4 useful taps per
+    output pixel instead of XLA's zero-dilated conv)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+    backend: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (4, 4, c, self.features), jnp.float32,
         )
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,),
@@ -78,22 +140,14 @@ class Conv(nn.Module):
             and jax.default_backend() not in ("cpu",)
         )
         if use_pallas:
-            from rnr_tpu.ops.conv_pallas import conv3x3
+            from rnr_tpu.ops.conv_pallas import convt4
 
-            b = bias if bias is not None else jnp.zeros(
-                (self.features,), jnp.float32
-            )
-            return conv3x3(x, kernel, b, self.pad_mode, False, 0.2,
-                           self.backend == "pallas_interpret")
-        if self.pad_mode == "reflect":
-            x = _reflect_pad(x, 1)
-            pad = "VALID"
+            y = convt4(x, kernel, self.backend == "pallas_interpret")
         else:
-            pad = "SAME"
-        y = jax.lax.conv_general_dilated(
-            x, kernel.astype(dt), (1, 1), pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+            y = jax.lax.conv_transpose(
+                x, kernel.astype(dt), (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if bias is not None:
             y = y + bias.astype(dt)
         return y
@@ -155,13 +209,6 @@ class DownBlock(nn.Module):
     pad_mode: str = "reflect"
     conv_backend: str = "xla"
 
-    def _pad(self, x, p):
-        return _reflect_pad(x, p) if self.pad_mode == "reflect" else x
-
-    @property
-    def _conv_pad(self):
-        return "VALID" if self.pad_mode == "reflect" else "SAME"
-
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         train = self.train
@@ -176,20 +223,10 @@ class DownBlock(nn.Module):
             x = nn.leaky_relu(x, 0.2)
             if self.use_dropout:
                 x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
-        if self.kernel == 3 and self.stride == 1:
-            x = Conv(self.out_ch, use_bias=use_bias, dtype=self.dtype,
-                     pad_mode=self.pad_mode,
-                     backend=self.conv_backend)(x)
-        else:
-            x = self._pad(x, 1)
-            x = nn.Conv(
-                self.out_ch,
-                (self.kernel, self.kernel),
-                strides=(self.stride, self.stride),
-                padding=self._conv_pad,
-                use_bias=use_bias,
-                dtype=self.dtype,
-            )(x)
+        x = Conv(self.out_ch, kernel_size=self.kernel, stride=self.stride,
+                 use_bias=use_bias, dtype=self.dtype,
+                 pad_mode=self.pad_mode,
+                 backend=self.conv_backend)(x)
         if (norm := _make_norm(self.norm)) is not None:
             x = norm(x)
         x = nn.leaky_relu(x, 0.2)
@@ -218,9 +255,9 @@ class UpBlock(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         train = self.train
         use_bias = self.norm == "none"
-        x = nn.ConvTranspose(
-            self.out_ch, (4, 4), strides=(2, 2), padding="SAME",
-            use_bias=use_bias, dtype=self.dtype,
+        x = ConvTranspose(
+            self.out_ch, use_bias=use_bias, dtype=self.dtype,
+            backend=self.conv_backend,
         )(x)
         if (norm := _make_norm(self.norm)) is not None:
             x = norm(x)

@@ -297,3 +297,302 @@ def _conv3x3_bwd(pad_mode, fuse_act, slope, interpret, res, g):
 
 
 conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 4x4 stride-2 pair: down-conv and transpose-conv (mutual dgrad duals)
+# ---------------------------------------------------------------------------
+#
+# The U-Net's remaining conv FLOPs are the encoder's 4x4 stride-2 downs
+# and the decoder's 4x4 stride-2 transpose convs (reference
+# pytorch_prototyping.py:258-264 and :124-206).  XLA lowers the transpose
+# as an input-dilated conv (zeros inserted), wasting 3/4 of the MXU work;
+# these kernels compute only the useful taps:
+#
+#   down:  out[i,j] = sum_{dy,dx in 0..3} xp[2i+dy, 2j+dx] w[dy,dx]
+#          (xp = x zero-padded by 1 — SAME for k=4, s=2)
+#   convT: out[2t+a, 2s+b] = sum over the 2x2 input neighborhood with the
+#          parity-specific 2x2 sub-kernel (derived below, pinned by
+#          parity tests against flax nn.ConvTranspose SAME)
+#
+# Column stride-2 access patterns are avoided by pre-splitting the padded
+# input into even/odd column planes in XLA; in-kernel reads are then
+# contiguous slices.  Row stride-2 access is a leading-dim stride (cheap).
+# Weight gradients route through XLA's native wgrad (jax.vjp of the stock
+# op w.r.t. w only): it is a single well-lowered conv, and fusing it
+# would not change the activation-bandwidth story these kernels fix.
+
+
+def _down4_kernel(th, wo, c, o, out_dtype):
+    """out rows [i*TH, i*TH+TH) of the k4 s2 down conv.
+
+    Input planes E/O: [rows, WO+1, C] (column-parity split of xp), where
+    output col j reads E[j], O[j], E[j+1], O[j+1] for dx = 0..3.
+    Needs xp rows [2*i*TH, 2*i*TH + 2*TH + 2).
+    """
+
+    def kernel(e_ref, o_ref, w_ref, out_ref, es, os_, sem):
+        i = pl.program_id(1)
+        n = pl.program_id(0)
+        r0 = i * th * 2
+        ce = pltpu.make_async_copy(
+            e_ref.at[n, pl.ds(r0, 2 * th + 2)], es, sem.at[0]
+        )
+        co = pltpu.make_async_copy(
+            o_ref.at[n, pl.ds(r0, 2 * th + 2)], os_, sem.at[1]
+        )
+        ce.start()
+        co.start()
+        ce.wait()
+        co.wait()
+
+        acc = jnp.zeros((th * wo, o), jnp.float32)
+        for dy in range(4):
+            # rows 2i+dy for i in tile: leading-dim stride-2 slice
+            er = es[dy:dy + 2 * th:2]   # [TH, WO+1, C]
+            orr = os_[dy:dy + 2 * th:2]
+            xcat = jnp.concatenate(
+                [er[:, 0:wo], orr[:, 0:wo], er[:, 1:wo + 1],
+                 orr[:, 1:wo + 1]], axis=-1,
+            ).reshape(th * wo, 4 * c)
+            acc = acc + jnp.dot(
+                xcat, w_ref[dy], preferred_element_type=jnp.float32
+            )
+        out_ref[0] = acc.reshape(th, wo, o).astype(out_dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("pad_mode", "out_dtype", "interpret"))
+def _down4_fwd_impl(x, w, pad_mode="same", out_dtype=jnp.bfloat16,
+                    interpret=False):
+    """k4 s2 down conv: x [N,H,W,C], w [4,4,C,O] -> [N,H/2,W/2,O].
+
+    pad_mode "same" = zero ring (flax SAME); "reflect" = reflect ring
+    (the U-Net pre-pads reflect then convolves VALID,
+    pytorch_prototyping.py:258).
+    """
+    n, h, width, c = x.shape
+    o = w.shape[-1]
+    ho, wo = h // 2, width // 2
+    xp = jnp.pad(
+        x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+        mode="reflect" if pad_mode == "reflect" else "constant",
+    )
+    # one extra zero row/col so the parity split below is even-sized
+    xp = jnp.pad(xp, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    # column-parity planes: E holds xp cols 0,2,..., O holds 1,3,...
+    e = xp[:, :, 0::2]   # [N, H+3, WO+1(+), C]
+    od = xp[:, :, 1::2]
+    e = e[:, :, :wo + 1]
+    od = od[:, :, :wo + 1]
+
+    th = max(8 // 8, _pick_th(wo, 4 * c, o) // 2)
+    th = max(th, 1)
+    grid_rows = pl.cdiv(ho, th)
+    row_pad = grid_rows * th * 2 + 2 - e.shape[1]
+    if row_pad > 0:
+        e = jnp.pad(e, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+        od = jnp.pad(od, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+
+    wk = w.astype(jnp.bfloat16)
+    # kernel packs taps as [E[j], O[j], E[j+1], O[j+1]] = dx [0, 1, 2, 3]
+    wk = wk.reshape(4, 4 * c, o)  # [dy, (dx, c), o] — dx-major like concat
+    kernel = _down4_kernel(th, wo, c, o, jnp.dtype(out_dtype))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, grid_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, wo, o), lambda nn, i: (nn, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, grid_rows * th, wo, o), jnp.dtype(out_dtype)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * th + 2, wo + 1, c), x.dtype),
+            pltpu.VMEM((2 * th + 2, wo + 1, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(e, od, wk)
+    return out[:, :ho]
+
+
+def _convt4_kernel(th, wi, c, o, out_dtype):
+    """Transpose conv k4 s2 SAME: out rows [2*i*TH, 2*i*TH+2*TH).
+
+    lax.conv_transpose(SAME, transpose_kernel=False) is a CORRELATION on
+    the 2x-dilated input (pinned by a 1D one-hot probe):
+      out[2t]   = x[t-1] w[0] + x[t] w[2] = xq[t]   w[0] + xq[t+1] w[2]
+      out[2t+1] = x[t]   w[1] + x[t+1] w[3] = xq[t+1] w[1] + xq[t+2] w[3]
+    with xq = x zero-padded by 1.  Needs xq rows [t0, t0+TH+2).  Same
+    decomposition for columns.
+    """
+
+    def kernel(xq_ref, w_ref, out_ref, xs, sem):
+        i = pl.program_id(1)
+        n = pl.program_id(0)
+        copy = pltpu.make_async_copy(
+            xq_ref.at[n, pl.ds(i * th, th + 2)], xs, sem
+        )
+        copy.start()
+        copy.wait()
+
+        outs = []
+        for a in range(2):
+            # (xq row offset, kernel row) pairs per output parity
+            row_pairs = ((0, 0), (1, 2)) if a == 0 else ((1, 1), (2, 3))
+            for b in range(2):
+                col_pairs = ((0, 0), (1, 2)) if b == 0 else ((1, 1), (2, 3))
+                acc = jnp.zeros((th * wi, o), jnp.float32)
+                for (ro, wr) in row_pairs:
+                    xr = xs[ro:ro + th]   # [TH, WI+2, C]
+                    xcat = jnp.concatenate(
+                        [xr[:, co:co + wi] for (co, _) in col_pairs],
+                        axis=-1,
+                    ).reshape(th * wi, 2 * c)
+                    wsel = jnp.concatenate(
+                        [w_ref[wr, wc] for (_, wc) in col_pairs], axis=0
+                    )  # [2C, O]
+                    acc = acc + jnp.dot(
+                        xcat, wsel, preferred_element_type=jnp.float32
+                    )
+                outs.append(acc.reshape(th, wi, o))
+        # interleave parities: [TH, 2, WI, 2, O] -> [2TH, 2WI, O]
+        y = jnp.stack(
+            [jnp.stack([outs[0], outs[1]], axis=2),   # a=0: b=0, b=1
+             jnp.stack([outs[2], outs[3]], axis=2)],  # a=1
+            axis=1,
+        )  # [TH, 2, WI, 2, O]
+        out_ref[0] = y.reshape(2 * th, 2 * wi, o).astype(out_dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def _convt4_fwd_impl(x, w, out_dtype=jnp.bfloat16, interpret=False):
+    """k4 s2 SAME transpose conv: x [N,H,W,C], w [4,4,C,O] -> [N,2H,2W,O]."""
+    n, h, width, c = x.shape
+    o = w.shape[-1]
+    xq = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    th = max(_pick_th(width, 2 * c, 4 * o) // 2, 1)
+    grid_rows = pl.cdiv(h, th)
+    row_pad = grid_rows * th + 2 - xq.shape[1]
+    if row_pad > 0:
+        xq = jnp.pad(xq, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+
+    wk = w.astype(jnp.bfloat16)  # [4, 4, C, O] indexed [wr, wc] in-kernel
+    kernel = _convt4_kernel(th, width, c, o, jnp.dtype(out_dtype))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, grid_rows),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2 * th, 2 * width, o), lambda nn, i: (nn, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, grid_rows * 2 * th, 2 * width, o), jnp.dtype(out_dtype)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, width + 2, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xq, wk)
+    return out[:, :2 * h]
+
+
+def _xla_down4(x, w, pad_mode="same"):
+    if pad_mode == "reflect":
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        pad = [(0, 1), (0, 1)]
+    else:
+        pad = [(1, 2), (1, 2)]
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (2, 2), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _xla_convt4(x, w):
+    return jax.lax.conv_transpose(
+        x, w.astype(x.dtype), (2, 2), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def down4(x, w, pad_mode="same", interpret=False):
+    """4x4 stride-2 conv (Pallas fwd; Pallas dgrad for "same", XLA wgrad).
+
+    With pad_mode="reflect" the input gradient also routes through XLA
+    (the reflect-pad adjoint's border folds aren't worth a hand-rolled
+    kernel for these shapes); the forward stays on the Pallas path.
+    """
+    return _down4_fwd_impl(
+        x, w, pad_mode=pad_mode, out_dtype=x.dtype, interpret=interpret
+    )
+
+
+def _down4_fwd(x, w, pad_mode, interpret):
+    return down4(x, w, pad_mode, interpret), (x, w)
+
+
+def _down4_bwd(pad_mode, interpret, res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    if pad_mode == "same":
+        # dgrad: transpose conv of g with the spatially-flipped,
+        # io-swapped kernel (adjoint of the stride-2 correlation;
+        # pinned by tests).
+        wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))  # [4,4,O,C]
+        dx = _convt4_fwd_impl(
+            g, wt, out_dtype=jnp.float32, interpret=interpret
+        ).astype(x.dtype)
+        _, wgrad = jax.vjp(lambda w_: _xla_down4(x, w_, pad_mode), w)
+        (dw,) = wgrad(g)
+    else:
+        _, vjp_fn = jax.vjp(lambda x_, w_: _xla_down4(x_, w_, pad_mode),
+                            x, w)
+        dx, dw = vjp_fn(g)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+down4.defvjp(_down4_fwd, _down4_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def convt4(x, w, interpret=False):
+    """4x4 stride-2 SAME transpose conv (Pallas fwd/dgrad, XLA wgrad)."""
+    return _convt4_fwd_impl(x, w, out_dtype=x.dtype, interpret=interpret)
+
+
+def _convt4_fwd(x, w, interpret):
+    return convt4(x, w, interpret), (x, w)
+
+
+def _convt4_bwd(interpret, res, g):
+    x, w = res
+    # adjoint of the transpose conv = the stride-2 down conv with the
+    # spatially-flipped, io-swapped kernel
+    wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = _down4_fwd_impl(
+        g.astype(x.dtype), wt, out_dtype=jnp.float32, interpret=interpret
+    ).astype(x.dtype)
+    _, wgrad = jax.vjp(lambda w_: _xla_convt4(x, w_), w)
+    (dw,) = wgrad(g.astype(x.dtype))
+    return dx, dw.astype(w.dtype)
+
+
+convt4.defvjp(_convt4_fwd, _convt4_bwd)

@@ -146,3 +146,108 @@ def test_unet_conv_backend_parity():
         build("pallas_interpret").init(jax.random.PRNGKey(0), x, None,
                                        train=False)
     )
+
+
+class TestDown4ConvT4:
+    """Parity of the 4x4 stride-2 Pallas pair vs XLA (interpret mode)."""
+
+    def _data4(self, h=16, w=16, c=4, o=8, n=2, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((n, h, w, c)).astype(np.float32))
+        wgt = jnp.asarray(
+            (rng.standard_normal((4, 4, c, o)) * 0.2).astype(np.float32)
+        )
+        return x, wgt
+
+    def test_down4_same(self):
+        from rnr_tpu.ops.conv_pallas import down4, _xla_down4
+
+        x, w = self._data4()
+        got = down4(x, w, "same", True)
+        want = _xla_down4(x, w, "same")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=2e-2
+        )
+
+    def test_down4_same_matches_flax_same(self):
+        # _xla_down4("same") must equal flax nn.Conv(padding="SAME")
+        import flax.linen as nn
+        from rnr_tpu.ops.conv_pallas import _xla_down4
+
+        x, w = self._data4(seed=3)
+        want = jax.lax.conv_general_dilated(
+            x, w, (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        got = _xla_down4(x, w, "same")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_down4_reflect(self):
+        from rnr_tpu.ops.conv_pallas import down4, _xla_down4
+
+        x, w = self._data4(seed=1)
+        got = down4(x, w, "reflect", True)
+        want = _xla_down4(x, w, "reflect")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=2e-2
+        )
+
+    def test_convt4(self):
+        from rnr_tpu.ops.conv_pallas import convt4, _xla_convt4
+
+        x, w = self._data4(seed=2)
+        got = convt4(x, w, True)
+        want = _xla_convt4(x, w)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=2e-2
+        )
+
+    def test_down4_grads_same(self):
+        from rnr_tpu.ops.conv_pallas import down4, _xla_down4
+
+        x, w = self._data4(h=8, w=8, c=4, o=4, n=1, seed=4)
+        cot = jnp.asarray(
+            np.random.default_rng(9).standard_normal((1, 4, 4, 4))
+            .astype(np.float32)
+        )
+        gp = jax.grad(
+            lambda x_, w_: jnp.sum(
+                down4(x_, w_, "same", True).astype(jnp.float32) * cot),
+            argnums=(0, 1),
+        )(x, w)
+        gx = jax.grad(
+            lambda x_, w_: jnp.sum(_xla_down4(x_, w_, "same") * cot),
+            argnums=(0, 1),
+        )(x, w)
+        for a, e, name in zip(gp, gx, ("dx", "dw")):
+            scale = np.abs(np.asarray(e)).max() + 1e-6
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(e) / scale,
+                rtol=0, atol=3e-2, err_msg=name,
+            )
+
+    def test_convt4_grads(self):
+        from rnr_tpu.ops.conv_pallas import convt4, _xla_convt4
+
+        x, w = self._data4(h=8, w=8, c=4, o=4, n=1, seed=5)
+        cot = jnp.asarray(
+            np.random.default_rng(8).standard_normal((1, 16, 16, 4))
+            .astype(np.float32)
+        )
+        gp = jax.grad(
+            lambda x_, w_: jnp.sum(
+                convt4(x_, w_, True).astype(jnp.float32) * cot),
+            argnums=(0, 1),
+        )(x, w)
+        gx = jax.grad(
+            lambda x_, w_: jnp.sum(_xla_convt4(x_, w_) * cot),
+            argnums=(0, 1),
+        )(x, w)
+        for a, e, name in zip(gp, gx, ("dx", "dw")):
+            scale = np.abs(np.asarray(e)).max() + 1e-6
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(e) / scale,
+                rtol=0, atol=3e-2, err_msg=name,
+            )
