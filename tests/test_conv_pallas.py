@@ -251,3 +251,36 @@ class TestDown4ConvT4:
                 np.asarray(a) / scale, np.asarray(e) / scale,
                 rtol=0, atol=3e-2, err_msg=name,
             )
+
+
+def test_rnr_train_step_pallas_convs():
+    """One full RNR train step with every U-Net conv on the Pallas path
+    (interpret mode): finite loss + finite grads — pins the custom VJPs
+    inside the real value_and_grad/optimizer program."""
+    import dataclasses
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _build
+    from rnr_tpu.train import create_rnr_state, make_rnr_train_step
+    from rnr_tpu.train.steps import rnr_texture_flatten_init
+
+    cfg, model, batch = _build(
+        img_size=32, tex_size=32, lmax=2, num_sample=64, nf0=8,
+        num_down=3, gcn_blocks=2, gcn_v=64, num_azi=2, num_polar=1,
+        rays_dtype="bfloat16", conv_backend="pallas_interpret",
+    )
+    state, tx = create_rnr_state(model, jax.random.PRNGKey(0), batch,
+                                 cfg.train.lr)
+    rng = np.random.default_rng(1)
+    statics = {
+        "l_samples_init": jnp.asarray(
+            rng.uniform(0, 1, (64, 3)).astype(np.float32)),
+        "l_samples_mask": jnp.asarray(
+            (rng.uniform(size=64) > 0.3).astype(np.float32)),
+        "tex_flatten_init": rnr_texture_flatten_init(model, state.params),
+    }
+    step = make_rnr_train_step(model, tx)
+    new_state, metrics = step(state, batch, statics, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    leaves = jax.tree.leaves(new_state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
