@@ -50,21 +50,44 @@ def _pick_th(w: int, c: int, o: int, vmem_budget=10 * 1024 * 1024) -> int:
     return 8
 
 
+def _halo_prefetch(xp_ref, xs, sem, th, rows):
+    """Double-buffered halo loader for row-tiled kernels.
+
+    xs is a 2-slot scratch [2, TH+extra, ...]; each grid cell (n, i)
+    waits for its own tile (started by the previous cell) and prefetches
+    tile i+1 of the same batch element.  The first tile of each batch
+    element loads synchronously.  Returns the current tile's slot view.
+    """
+    i = pl.program_id(1)
+    n = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+
+    def copy_of(row_idx, s):
+        return pltpu.make_async_copy(
+            xp_ref.at[n, pl.ds(row_idx * th, rows)], xs.at[s], sem.at[s]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy_of(0, 0).start()
+
+    @pl.when(i + 1 < pl.num_programs(1))
+    def _():
+        copy_of(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    copy_of(i, slot).wait()
+    return slot
+
+
 def _conv_kernel(th, w, c, o, n_rows, slope, fuse_act, out_dtype):
     """Forward kernel: out rows [i*TH, i*TH+TH) of a 3x3 s1 conv."""
 
     def kernel(xp_ref, w_ref, b_ref, out_ref, xs, sem):
-        i = pl.program_id(1)
-        n = pl.program_id(0)
-        copy = pltpu.make_async_copy(
-            xp_ref.at[n, pl.ds(i * th, th + 2)], xs, sem
-        )
-        copy.start()
-        copy.wait()
+        slot = _halo_prefetch(xp_ref, xs, sem, th, th + 2)
 
         acc = jnp.zeros((th * w, o), jnp.float32)
         for dy in range(3):
-            xd = xs[dy:dy + th]  # [TH, W+2, C]
+            xd = xs[slot, dy:dy + th]  # [TH, W+2, C]
             xcat = jnp.concatenate(
                 [xd[:, 0:w], xd[:, 1:w + 1], xd[:, 2:w + 2]], axis=-1
             ).reshape(th * w, 3 * c)
@@ -133,8 +156,8 @@ def _conv3x3_fwd_impl(
             (n, grid_rows * th, width, o), jnp.dtype(out_dtype)
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, width + 2, c), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 2, width + 2, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, wk, bk)
@@ -147,11 +170,7 @@ def _wgrad_kernel(th, w, c, o, grid_rows, n_batch):
     def kernel(xp_ref, g_ref, dw_ref, xs, sem):
         i = pl.program_id(1)
         n = pl.program_id(0)
-        copy = pltpu.make_async_copy(
-            xp_ref.at[n, pl.ds(i * th, th + 2)], xs, sem
-        )
-        copy.start()
-        copy.wait()
+        slot = _halo_prefetch(xp_ref, xs, sem, th, th + 2)
 
         first = (i == 0) & (n == 0)
 
@@ -161,7 +180,7 @@ def _wgrad_kernel(th, w, c, o, grid_rows, n_batch):
 
         g = g_ref[0].reshape(th * w, o)
         for dy in range(3):
-            xd = xs[dy:dy + th]
+            xd = xs[slot, dy:dy + th]
             xcat = jnp.concatenate(
                 [xd[:, 0:w], xd[:, 1:w + 1], xd[:, 2:w + 2]], axis=-1
             ).reshape(th * w, 3 * c)
@@ -207,8 +226,8 @@ def _conv3x3_wgrad_impl(x, g, pad_mode="same", interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((3, 3 * c, o), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, width + 2, c), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 2, width + 2, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, g.astype(x.dtype))
