@@ -39,6 +39,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--apply_sh", default=True,
                    type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--nf0", type=int, default=64)
+    p.add_argument("--unet_conv_backend", default="xla",
+                   choices=["xla", "pallas"],
+                   help="3x3/4x4 conv backend (pallas = fused "
+                        "implicit-GEMM kernels on TPU)")
+    p.add_argument("--unet_pad_mode", default="reflect",
+                   choices=["reflect", "same"])
     p.add_argument("--max_epoch", type=int, default=2000)
     p.add_argument("--max_iter", type=int, default=None)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -108,7 +114,9 @@ def main(argv=None) -> None:
             mipmap_level=opt.mipmap_level,
             apply_sh=opt.apply_sh,
         ),
-        render_net=RenderNetConfig(nf0=opt.nf0),
+        render_net=RenderNetConfig(nf0=opt.nf0,
+                                   conv_backend=opt.unet_conv_backend,
+                                   pad_mode=opt.unet_pad_mode),
         loss=LossConfig(),
         train=TrainConfig(
             lr=opt.lr, batch_size=opt.batch_size, max_epoch=opt.max_epoch,

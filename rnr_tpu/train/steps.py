@@ -242,6 +242,8 @@ def build_dnr_modules(cfg: DNRConfig) -> DNRModules:
             num_down_unet=cfg.render_net.num_down_unet,
             use_gcn=False,
             norm=cfg.render_net.norm,  # type: ignore[arg-type]
+            pad_mode=cfg.render_net.pad_mode,
+            conv_backend=cfg.render_net.conv_backend,
         ),
     )
 
