@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--img", type=int, default=128)
     ap.add_argument("--root", type=str, default=None)
+    # canonical-scale gate (VERDICT r2 item 4): the shipped defaults'
+    # model sizes — tex 512/24ch/4mip, SH lmax 10, nf0 64 x 5 downs, GCN
+    # 20 blocks k=16 (reference train_rnr.sh:1-5); combine with
+    # --img 512 for the full benchmark configuration
+    ap.add_argument("--canonical", action="store_true")
     # round-3 precision/backend variants are opt-in (pass them via
     # --ablations); the default set is the graph-construction gate
     ap.add_argument("--ablations", type=str,
@@ -79,8 +84,12 @@ def main():
     print("scene root:", root, flush=True)
     if not os.path.isdir(os.path.join(root, "rgb0")):
         # dense enough that the stratified-kNN path actually engages
-        # (needs V >= kernel_size * stratum_width = 128)
-        make_scene(root, num_view=24, hw=args.img, n_lat=24, n_lon=36)
+        # (needs V >= kernel_size * stratum_width = 128); canonical uses
+        # a ~7.5k-vertex sphere matching the reference's mesh_7500v
+        if args.canonical:
+            make_scene(root, num_view=24, hw=args.img, n_lat=72, n_lon=104)
+        else:
+            make_scene(root, num_view=24, hw=args.img, n_lat=24, n_lon=36)
         precompute.main(
             ["--data_root", root, "--img_size", str(args.img),
              "--sampling_pattern", "all"]
@@ -90,13 +99,24 @@ def main():
              "--img_suffix", ".png", "--lp_h", "128", "--lp_w", "256"]
         )
 
+    if args.canonical:
+        size_args = [
+            "--texture_size", "512", "--mipmap_level", "4",
+            "--nf0", "64", "--n_blocks", "20", "--n_filters", "64",
+            "--kernel_size", "16", "--out_channels_gcn", "512",
+            "--sh_lmax", "10",
+        ]
+    else:
+        size_args = [
+            "--texture_size", "128", "--mipmap_level", "3",
+            "--nf0", "32", "--n_blocks", "8", "--n_filters", "32",
+            "--kernel_size", "8", "--out_channels_gcn", "128",
+            "--sh_lmax", "4",
+        ]
     common = [
         "--data_root", root, "--obj_high_fp", "_/mesh.obj",
         "--obj_low_fp", "_/mesh.obj", "--obj_gcn_fp", "_/mesh.obj",
-        "--img_size", str(args.img), "--texture_size", "128",
-        "--mipmap_level", "3", "--nf0", "32", "--n_blocks", "8",
-        "--n_filters", "32", "--kernel_size", "8",
-        "--out_channels_gcn", "128", "--sh_lmax", "4",
+        "--img_size", str(args.img), *size_args,
         "--sphere_samples_fp", "nonexistent.mat",
         "--lighting_idx", "0", "--max_iter", str(args.iters),
         # one held-out validation pass at the very end
