@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _pick_th(w: int, c: int, o: int, vmem_budget=10 * 1024 * 1024) -> int:
     """Row-tile height: largest TH (multiple of 8, <= 64) fitting VMEM."""
     for th in (64, 32, 16, 8):
-        xs = (th + 2) * (w + 2) * c * 2          # bf16 halo tile
+        xs = 2 * (th + 2) * (w + 2) * c * 2      # double-buffered bf16 halo
         acc = th * w * o * 4                      # f32 accumulator
         out = th * w * o * 2
         wgt = 3 * 3 * c * o * 2
