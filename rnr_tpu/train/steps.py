@@ -190,8 +190,17 @@ def make_rnr_train_step(
     return step
 
 
-def make_rnr_eval_step(model: RNRModel, lighting_idx: int = 0) -> Callable:
-    """Jitted inference step; optional lp_override enables relighting."""
+def make_rnr_eval_step(
+    model: RNRModel,
+    lighting_idx: int = 0,
+    output_keys: tuple[str, ...] = ("img",),
+) -> Callable:
+    """Jitted inference step; optional lp_override enables relighting.
+
+    `output_keys` prunes the returned dict (default: the rendered image
+    only) so XLA can DCE / avoid materializing the big per-ray
+    intermediates as program outputs; pass None for the full dict.
+    """
 
     @partial(jax.jit, static_argnames=("relight",))
     def step(state: TrainState, batch, lp_override=None, relight: bool = False,
@@ -213,6 +222,8 @@ def make_rnr_eval_step(model: RNRModel, lighting_idx: int = 0) -> Callable:
             mutable=["spectral"],
             v_feature_override=v_feature,
         )
+        if output_keys is not None:
+            out = {k: out[k] for k in output_keys}
         return out
 
     return step
