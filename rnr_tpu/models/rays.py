@@ -277,10 +277,17 @@ def ray_render_sh(
     r_spec = r_total - num_ray_diffuse
     coeff = sh_coeff * lp_scale_factor
 
+    # one transpose up front so every scan step reads a CONTIGUOUS
+    # [N, H, W, 3] slab — slicing rays_dir[..., r] inside the scan is a
+    # stride-R gather repeated R times over the largest tensor of the
+    # step (trailing-axis ray layout keeps the VPU reductions fast
+    # elsewhere; the scan is the one consumer that wants rays leading)
+    rays_dir_r = jnp.moveaxis(rays_dir, -1, 0)            # [R, N, H, W, 3]
+
     def shade_one(r):
         # basis evaluation in f32 regardless of ray storage dtype: the
         # lmax-10 Legendre ladder loses ~all precision in bf16
-        d = rays_dir[..., r].astype(jnp.float32)          # [N, H, W, 3]
+        d = rays_dir_r[r].astype(jnp.float32)             # [N, H, W, 3]
         basis = evaluate_sh_basis(sh_lmax, d)             # [N, H, W, B]
         rc = jnp.einsum(
             "nhwb,bc->nhwc", basis, coeff.astype(jnp.float32)
