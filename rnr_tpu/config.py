@@ -78,6 +78,8 @@ class GCNTrainConfig:
     # top-k for every block)
     strat_min_dilation: int = 3
     stratum_width: int = 16
+    # EdgeConv compute dtype (graphs always built from f32 features)
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,6 +65,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lighting_relight_idx", default=None, type=int)
     # render net
     p.add_argument("--nf0", type=int, default=64)
+    p.add_argument("--gcn_compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="EdgeConv gather/matmul dtype (graphs stay f32)")
     p.add_argument("--rays_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="storage dtype of the per-ray tensors (bf16 "
@@ -447,6 +450,7 @@ def main(argv=None) -> None:
             stochastic=opt.stochastic, out_channels=opt.out_channels_gcn,
             knn_approx=opt.knn_approx, knn_recall=opt.knn_recall,
             graph_refresh_every=opt.graph_refresh_every,
+            compute_dtype=opt.gcn_compute_dtype,
             strat_min_dilation=opt.strat_min_dilation,
             stratum_width=opt.stratum_width,
         ),

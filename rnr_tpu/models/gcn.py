@@ -48,6 +48,12 @@ class GCNConfig:
     # sampling), so 0.9 is the default; knn_approx=False gives the exact
     # reference graph.
     knn_recall: float = 0.9
+    # EdgeConv gather/matmul compute dtype ("bfloat16" halves the [V, k,
+    # 2C] gather bytes and MXU time).  Graph construction (distances /
+    # top-k / strata) always runs on f32 features so neighbor selection
+    # is dtype-independent; the head fusion + spectral-norm projections
+    # stay f32.
+    compute_dtype: str = "float32"
     # Rebuild the dynamic kNN graph every Nth block, reusing the previous
     # block's neighborhood otherwise.  1 = reference parity (every block,
     # gcn_lib/dense/torch_vertex.py:68-70); higher values trade graph
@@ -173,21 +179,24 @@ class EdgeConv(nn.Module):
 
     out_ch: int
     conv_type: Literal["edge", "mr"] = "edge"
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, idx: jax.Array) -> jax.Array:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x_j = x[idx]                      # [V, k, C]
         x_i = x[:, None, :]
         if self.conv_type == "edge":
             feat = jnp.concatenate(
                 [jnp.broadcast_to(x_i, x_j.shape), x_j - x_i], axis=-1
             )
-            h = nn.relu(nn.Dense(self.out_ch)(feat))
+            h = nn.relu(nn.Dense(self.out_ch, dtype=self.dtype)(feat))
             return jnp.max(h, axis=1)
         # max-relative conv (MRConv4D): max over neighbors first
         rel = jnp.max(x_j - x_i, axis=1)
         feat = jnp.concatenate([x, rel], axis=-1)
-        return nn.relu(nn.Dense(self.out_ch)(feat))
+        return nn.relu(nn.Dense(self.out_ch, dtype=self.dtype)(feat))
 
 
 class SNDense(nn.Module):
@@ -246,11 +255,13 @@ class DenseDeepGCN(nn.Module):
         if x is None:
             x = pos
         data = jnp.concatenate([pos, x], axis=-1)  # [V, in_channels]
+        cdt = jnp.dtype(cfg.compute_dtype)
 
         # head: static graph from positions
         idx0 = knn_graph(pos, cfg.kernel_size, approx=cfg.knn_approx,
                          recall=cfg.knn_recall)
-        feats = [EdgeConv(cfg.n_filters, cfg.conv_type)(data, idx0)]
+        feats = [EdgeConv(cfg.n_filters, cfg.conv_type, dtype=cdt)(
+            data, idx0)]
 
         idx_cache = None
         strat_cache = None
@@ -274,7 +285,7 @@ class DenseDeepGCN(nn.Module):
             if use_strat:
                 if strat_cache is None or i % cfg.graph_refresh_every == 0:
                     strat_cache = stratified_candidates(
-                        h, cfg.stratum_width
+                        h.astype(jnp.float32), cfg.stratum_width
                     )
                 idx = sample_strata(
                     strat_cache, cfg.kernel_size, i, cfg.stochastic,
@@ -291,7 +302,8 @@ class DenseDeepGCN(nn.Module):
                         last = min(last, cfg.strat_min_dilation - 2)
                     k_window = cfg.kernel_size * (1 + last)
                     idx_cache = knn_graph(
-                        h, k_window, approx=cfg.knn_approx,
+                        h.astype(jnp.float32), k_window,
+                        approx=cfg.knn_approx,
                         recall=cfg.knn_recall,
                     )
                 idx_full = idx_cache[:, : cfg.kernel_size * dilation]
@@ -300,16 +312,20 @@ class DenseDeepGCN(nn.Module):
                     cfg.epsilon, rng, train,
                 )
             if cfg.block_type == "res":
-                feats.append(EdgeConv(cfg.n_filters, cfg.conv_type)(h, idx) + h)
+                feats.append(
+                    EdgeConv(cfg.n_filters, cfg.conv_type, dtype=cdt)(
+                        h, idx) + h
+                )
             else:
                 feats.append(
                     jnp.concatenate(
-                        [h, EdgeConv(cfg.n_filters, cfg.conv_type)(h, idx)],
+                        [h, EdgeConv(cfg.n_filters, cfg.conv_type,
+                                     dtype=cdt)(h, idx)],
                         axis=-1,
                     )
                 )
 
-        fused = jnp.concatenate(feats, axis=-1)          # [V, n_blocks*C]
+        fused = jnp.concatenate(feats, axis=-1).astype(jnp.float32)
         fused = nn.relu(nn.Dense(1024)(fused))           # fusion_block
         per_vertex = jnp.max(fused, axis=-1)             # channel max -> [V]
         h = SNDense(2048)(per_vertex[None, :], train=train)

@@ -88,6 +88,7 @@ class RNRModel(nn.Module):
                     graph_refresh_every=c.gcn.graph_refresh_every,
                     strat_min_dilation=c.gcn.strat_min_dilation,
                     stratum_width=c.gcn.stratum_width,
+                    compute_dtype=c.gcn.compute_dtype,
                 )
             )
         self.lighting = LightingSH(

@@ -458,3 +458,24 @@ def test_chrom_loss_gradient_finite_at_zero_rays():
     alpha = jnp.ones((1, 4, 4, 1))
     g = jax.grad(lambda r: rays_lt_chrom_loss(r, alpha)[0])(rl)
     assert bool(jnp.isfinite(g).all())
+
+
+def test_gcn_bf16_compute_matches_f32():
+    """EdgeConv bf16 compute vs f32: same graphs (built from f32
+    features), v_feature agreement within bf16 tolerance."""
+    import dataclasses
+    from rnr_tpu.models.gcn import DenseDeepGCN, GCNConfig
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.standard_normal((256, 3)).astype(np.float32))
+    cfg32 = GCNConfig(n_blocks=4, kernel_size=8, n_filters=16,
+                      out_channels=32, stochastic=False, knn_approx=False,
+                      strat_min_dilation=0)
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    m32, m16 = DenseDeepGCN(cfg32), DenseDeepGCN(cfg16)
+    v = m32.init(jax.random.PRNGKey(0), pos, train=False)
+    o32 = m32.apply(v, pos, train=False, mutable=["spectral"])[0]
+    o16 = m16.apply(v, pos, train=False, mutable=["spectral"])[0]
+    a, b = np.asarray(o32), np.asarray(o16)
+    scale = np.abs(a).max() + 1e-6
+    assert np.abs(a - b).max() / scale < 0.05, np.abs(a - b).max() / scale
