@@ -56,6 +56,7 @@ def main() -> None:
              "wide": "wide"}[remat_env.lower()]
     conv_backend = os.environ.get("BENCH_CONV_BACKEND", "xla")
     rays_dtype = os.environ.get("BENCH_RAYS_DTYPE", "float32")
+    gcn_dtype = os.environ.get("BENCH_GCN_DTYPE", "float32")
     steps = int(os.environ.get("BENCH_STEPS", 5))
     gcn_blocks = int(os.environ.get("BENCH_GCN_BLOCKS", 20))
     gcn_v = int(os.environ.get("BENCH_V", 7500))
@@ -75,6 +76,7 @@ def main() -> None:
         remat=remat,
         rays_dtype=rays_dtype,
         conv_backend=conv_backend,
+        gcn_dtype=gcn_dtype,
     )
 
     rng = jax.random.PRNGKey(0)
@@ -150,6 +152,7 @@ def main() -> None:
             nf0=64, num_down=5, gcn_blocks=gcn_blocks, gcn_v=gcn_v,
             num_azi=6, num_polar=2, batch=2, remat=remat,
             rays_dtype=rays_dtype, conv_backend=conv_backend,
+            gcn_dtype=gcn_dtype,
         )
         state2, tx2 = create_rnr_state(
             model2, jax.random.PRNGKey(0), batch2, cfg2.train.lr
@@ -185,6 +188,7 @@ def main() -> None:
             nf0=64, num_down=5, gcn_blocks=gcn_blocks, gcn_v=gcn_v,
             num_azi=6, num_polar=2, batch=1, remat=remat,
             rays_dtype=rays_dtype, conv_backend=conv_backend,
+            gcn_dtype=gcn_dtype,
         )
         stateK, txK = create_rnr_state(
             modelK, jax.random.PRNGKey(0), batchK, cfgK.train.lr

@@ -99,6 +99,7 @@ def main():
             nf0=64, num_down=5, gcn_blocks=20, gcn_v=7500,
             num_azi=6, num_polar=2, batch=batch_n, remat=remat,
             rays_dtype=rays_dtype, conv_backend=conv_backend,
+            gcn_dtype=os.environ.get("R3_GCN_DTYPE", "float32"),
         )
         state, tx = create_rnr_state(
             model, jax.random.PRNGKey(0), batch, cfg.train.lr
