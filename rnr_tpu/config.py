@@ -57,6 +57,10 @@ class RaysConfig:
     # accumulate in f32, and the SH basis itself is evaluated in f32
     # (the lmax-10 Legendre ladder is precision-sensitive).
     rays_dtype: str = "float32"
+    # SH shading implementation: "auto" = fused Pallas kernel on TPU
+    # (ops/sh_pallas.py, exact same ladder/convention as the XLA path,
+    # rays_color never materializes); "xla" = checkpointed lax.map scan
+    sh_kernel: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -248,6 +248,7 @@ def ray_render_sh(
     no_albedo: bool = False,
     separate_albedo: bool = False,
     lp_scale_factor: float = 1.0,
+    backend: str = "auto",
 ):
     """SH-direct ray composition: shade rays straight from SH coefficients.
 
@@ -276,6 +277,45 @@ def ray_render_sh(
     r_total = rays_dir.shape[-1]
     r_spec = r_total - num_ray_diffuse
     coeff = sh_coeff * lp_scale_factor
+
+    # fused Pallas kernel: ladder + radiance + fan reduction all in VMEM
+    # (ops/sh_pallas.py) — rays_color never materializes in HBM, in
+    # either direction.  "auto" = on for TPU-class backends.
+    use_kernel = backend in ("pallas", "pallas_interpret") or (
+        backend == "auto" and jax.default_backend() not in ("cpu",)
+    )
+    if use_kernel:
+        from rnr_tpu.ops.sh_pallas import sh_shade
+
+        ltt_specular, ltt_diffuse = sh_shade(
+            rays_dir, rays_lt, alpha_map, coeff, sh_lmax, r_spec,
+            backend == "pallas_interpret",
+        )
+        out_specular = (
+            ltt_specular if no_albedo else albedo_specular * ltt_specular
+        )
+        if num_ray_diffuse > 0:
+            if no_albedo:
+                out_diffuse = ltt_diffuse
+            elif separate_albedo:
+                if albedo_diffuse is None:
+                    raise ValueError(
+                        "separate_albedo requires albedo_diffuse"
+                    )
+                out_diffuse = albedo_diffuse * ltt_diffuse
+            else:
+                out_diffuse = albedo_specular * ltt_diffuse
+        else:
+            out_diffuse = jnp.zeros_like(out_specular)
+        return {
+            "out": out_specular + out_diffuse,
+            "out_specular": out_specular,
+            "out_diffuse": out_diffuse,
+            "ltt_specular_map": ltt_specular,
+            "ltt_diffuse_map": ltt_diffuse,
+            "rays_color": None,  # not materialized on the fused path
+            "lp": coeff,
+        }
 
     # one transpose up front so every scan step reads a CONTIGUOUS
     # [N, H, W, 3] slab — slicing rays_dir[..., r] inside the scan is a

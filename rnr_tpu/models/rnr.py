@@ -233,6 +233,7 @@ class RNRModel(nn.Module):
                 num_ray_diffuse=self.ray_sampler_diffuse.num_ray,
                 albedo_diffuse=albedo_diffuse,
                 separate_albedo=True,
+                backend=c.rays.sh_kernel,
             )
         else:
             if lp_override is None:

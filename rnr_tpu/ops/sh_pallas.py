@@ -1,0 +1,339 @@
+"""Fused per-ray SH shading + light-transport reduction (Pallas).
+
+The RNR composition shades R=26 rays per pixel from SH coefficients and
+reduces them against the U-Net's light-transport maps (reference
+network.py:493-523, with the SH-direct formulation of models/rays.py::
+ray_render_sh).  The XLA path materializes rays_color [N,H,W,R,C] in HBM
+(and recomputes the [N,H,W,B] basis per ray in the backward scan); this
+kernel keeps everything in VMEM:
+
+  per (row-tile, ray):
+    1. the real-SH Legendre/azimuth ladder (ops/sh.py convention:
+       'ortho', csphase=1, index l*l+l+m) writes the 121 basis planes
+       into a VMEM stack Bs [B, TH*W],
+    2. radiance = coeff^T Bs  (one small MXU contraction, [C, TH*W]),
+    3. ltt accumulators += rays_lt * radiance * alpha / fan-size.
+
+  backward (same ladder recomputed):
+    d rays_lt[r] = radiance * alpha * g_sel
+    d coeff     += Bs @ (rays_lt[r] * alpha * g_sel)^T   (MXU, grid-
+                   accumulated — the TPU grid is sequential)
+    rays_dir carries no gradient: it is G-buffer data (SURVEY §3.2 —
+    gradients flow to textures/SH/U-Net/GCN, never to geometry).
+
+Layout: the kernel wants rays/channels on LEADING axes so the tiled
+trailing dims are (rows, W); the NHWC wrapper transposes once per tensor
+(one pass each) — still a large net win over materializing rays_color.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rnr_tpu.ops.sh import num_sh_basis
+
+
+def _emit_basis(x, y, z, lmax, store):
+    """Run the orthonormal real-SH ladder, calling store(flat_idx, plane).
+
+    Mirrors ops/sh.py::evaluate_sh_basis exactly (same recurrences, same
+    hypot-normalized azimuthal factors) on [TH, W] planes.
+    """
+    ct = jnp.clip(z, -1.0, 1.0)
+    st = jnp.sqrt(jnp.clip(1.0 - ct * ct, 0.0, None))
+    inv_sqrt_4pi = 1.0 / math.sqrt(4.0 * math.pi)
+    sqrt2 = math.sqrt(2.0)
+
+    rxy = jnp.sqrt(x * x + y * y)
+    inv_rxy = jnp.where(rxy > 0, 1.0 / jnp.maximum(rxy, 1e-30), 0.0)
+    c1 = jnp.where(rxy > 0, x * inv_rxy, 1.0)
+    s1 = y * inv_rxy
+
+    cos_m = [None] * (lmax + 1)
+    sin_m = [None] * (lmax + 1)
+    if lmax >= 1:
+        cos_m[1], sin_m[1] = c1, s1
+    for m in range(2, lmax + 1):
+        cos_m[m] = cos_m[m - 1] * c1 - sin_m[m - 1] * s1
+        sin_m[m] = sin_m[m - 1] * c1 + cos_m[m - 1] * s1
+
+    def put(l, m, q):
+        if m == 0:
+            store(l * l + l, q)
+        else:
+            store(l * l + l + m, sqrt2 * q * cos_m[m])
+            store(l * l + l - m, sqrt2 * q * sin_m[m])
+
+    # march the m-diagonals: for each m, q_mm then ascend l
+    q_diag = jnp.full_like(ct, inv_sqrt_4pi)
+    for m in range(0, lmax + 1):
+        if m > 0:
+            q_diag = (
+                math.sqrt((2.0 * m + 1.0) / (2.0 * m)) * st * q_diag
+            )
+        put(m, m, q_diag)
+        if m < lmax:
+            q_lm1 = q_diag
+            q_l = math.sqrt(2.0 * m + 3.0) * ct * q_diag
+            put(m + 1, m, q_l)
+            for l in range(m + 2, lmax + 1):
+                a = math.sqrt((4.0 * l * l - 1.0) / (l * l - m * m))
+                b = math.sqrt(
+                    (((l - 1.0) ** 2 - m * m))
+                    / (4.0 * (l - 1.0) ** 2 - 1.0)
+                )
+                q_l, q_lm1 = a * (ct * q_l - b * q_lm1), q_l
+                put(l, m, q_l)
+
+
+def _round8(v):
+    return ((v + 7) // 8) * 8
+
+
+def _fwd_kernel(lmax, r_total, r_spec, c, th, w, out_dtype):
+    nb = num_sh_basis(lmax)
+    r_diff = r_total - r_spec
+
+    def kernel(rd_ref, rl_ref, al_ref, cf_ref, spec_ref, diff_ref, bs):
+        alpha = al_ref[0, 0].astype(jnp.float32)           # [TH, W]
+
+        def body(r, carry):
+            acc_s, acc_d = carry
+            x = rd_ref[0, r, 0].astype(jnp.float32)
+            y = rd_ref[0, r, 1].astype(jnp.float32)
+            z = rd_ref[0, r, 2].astype(jnp.float32)
+
+            def store(idx, plane):
+                bs[idx] = plane
+
+            _emit_basis(x, y, z, lmax, store)
+            # radiance [C, TH, W] = coeff^T @ basis
+            rad = jax.lax.dot_general(
+                cf_ref[...], bs[0:nb].reshape(nb, th * w),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(c, th, w) * alpha[None]
+            lt = rl_ref[0, r].astype(jnp.float32)          # [C, TH, W]
+            contrib = lt * rad
+            is_spec = (r < r_spec).astype(jnp.float32)
+            acc_s = acc_s + contrib * (is_spec / r_spec)
+            acc_d = acc_d + contrib * ((1.0 - is_spec) / max(r_diff, 1))
+            return acc_s, acc_d
+
+        init = (jnp.zeros((c, th, w), jnp.float32),
+                jnp.zeros((c, th, w), jnp.float32))
+        acc_s, acc_d = jax.lax.fori_loop(0, r_total, body, init)
+        spec_ref[0] = acc_s.astype(out_dtype)
+        diff_ref[0] = acc_d.astype(out_dtype)
+
+    return kernel
+
+
+def _bwd_kernel(lmax, r_total, r_spec, c, th, w, lt_dtype):
+    nb = num_sh_basis(lmax)
+    r_diff = r_total - r_spec
+
+    def kernel(rd_ref, rl_ref, al_ref, cf_ref, gs_ref, gd_ref,
+               dlt_ref, dcf_ref, bs):
+        i = pl.program_id(1)
+        n = pl.program_id(0)
+        first = (i == 0) & (n == 0)
+
+        @pl.when(first)
+        def _():
+            dcf_ref[...] = jnp.zeros_like(dcf_ref)
+
+        alpha = al_ref[0, 0].astype(jnp.float32)
+        gs = gs_ref[0].astype(jnp.float32)                 # [C, TH, W]
+        gd = gd_ref[0].astype(jnp.float32)
+
+        def body(r, dcf_acc):
+            x = rd_ref[0, r, 0].astype(jnp.float32)
+            y = rd_ref[0, r, 1].astype(jnp.float32)
+            z = rd_ref[0, r, 2].astype(jnp.float32)
+
+            def store(idx, plane):
+                bs[idx] = plane
+
+            _emit_basis(x, y, z, lmax, store)
+            bsv = bs[0:nb].reshape(nb, th * w)
+            rad = jax.lax.dot_general(
+                cf_ref[...], bsv,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(c, th, w)
+            is_spec = (r < r_spec).astype(jnp.float32)
+            gsel = (gs * (is_spec / r_spec)
+                    + gd * ((1.0 - is_spec) / max(r_diff, 1))) * alpha[None]
+            dlt_ref[0, r] = (rad * gsel).astype(lt_dtype)
+            ltg = (rl_ref[0, r].astype(jnp.float32) * gsel)  # [C, TH, W]
+            dcf_acc = dcf_acc + jax.lax.dot_general(
+                bsv, ltg.reshape(c, th * w),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return dcf_acc
+
+        dcf = jax.lax.fori_loop(
+            0, r_total, body, jnp.zeros((nb, c), jnp.float32)
+        )
+        dcf_ref[...] = dcf_ref[...] + dcf
+
+    return kernel
+
+
+def _pick_th_sh(h, w, r_total, c):
+    for th in (32, 16, 8, 4, 2, 1):
+        if h % th:
+            continue
+        rays = 2 * r_total * (3 + c) * th * w * 2   # rd + rl tiles (bf16-ish)
+        bs = 128 * th * w * 4
+        if rays + bs + 6 * th * w * 4 <= 10 * 1024 * 1024:
+            return th
+    return 1
+
+
+@partial(
+    jax.jit,
+    static_argnames=("lmax", "r_spec", "interpret"),
+)
+def _sh_shade_impl(rd_t, rl_t, al_t, coeff, lmax, r_spec, interpret):
+    """rd_t [N,R,3,H,W], rl_t [N,R,C,H,W], al_t [N,1,H,W], coeff [B,C]."""
+    n, r_total, _, h, w = rd_t.shape
+    c = rl_t.shape[2]
+    th = _pick_th_sh(h, w, r_total, c)
+    kernel = _fwd_kernel(lmax, r_total, r_spec, c, th, w, jnp.float32)
+    spec, diff = pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec((1, r_total, 3, th, w),
+                         lambda nn, i: (nn, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_total, c, th, w),
+                         lambda nn, i: (nn, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_round8(num_sh_basis(lmax)), th, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rd_t, rl_t, al_t, coeff.astype(jnp.float32))
+    return spec, diff
+
+
+@partial(
+    jax.jit,
+    static_argnames=("lmax", "r_spec", "interpret"),
+)
+def _sh_shade_bwd_impl(rd_t, rl_t, al_t, coeff, gs_t, gd_t, lmax, r_spec,
+                       interpret):
+    n, r_total, _, h, w = rd_t.shape
+    c = rl_t.shape[2]
+    th = _pick_th_sh(h, w, r_total, c)
+    kernel = _bwd_kernel(lmax, r_total, r_spec, c, th, w, rl_t.dtype)
+    nb = num_sh_basis(lmax)
+    dlt, dcf = pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec((1, r_total, 3, th, w),
+                         lambda nn, i: (nn, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_total, c, th, w),
+                         lambda nn, i: (nn, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r_total, c, th, w),
+                         lambda nn, i: (nn, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, c), lambda nn, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, r_total, c, h, w), rl_t.dtype),
+            jax.ShapeDtypeStruct((nb, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_round8(nb), th, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rd_t, rl_t, al_t, coeff.astype(jnp.float32), gs_t, gd_t)
+    return dlt, dcf
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def sh_shade(rays_dir, rays_lt, alpha_map, coeff, lmax, r_spec,
+             interpret=False):
+    """Fused SH shading + per-fan light-transport reduction.
+
+    Args:
+      rays_dir: [N, H, W, 3, R] unit rays (G-buffer data, no gradient).
+      rays_lt: [N, H, W, R, C] light transport.
+      alpha_map: [N, H, W, 1].
+      coeff: [B, C] SH coefficients, B = (lmax+1)^2.
+      lmax, r_spec: static.
+
+    Returns (ltt_specular, ltt_diffuse), each [N, H, W, C] f32 — the
+    mean over each fan of rays_lt * (basis(dir) . coeff) * alpha.
+    """
+    rd_t = jnp.transpose(rays_dir, (0, 4, 3, 1, 2))
+    rl_t = jnp.transpose(rays_lt, (0, 3, 4, 1, 2))
+    al_t = jnp.transpose(alpha_map, (0, 3, 1, 2))
+    spec, diff = _sh_shade_impl(rd_t, rl_t, al_t, coeff, lmax, r_spec,
+                                interpret)
+    return (jnp.transpose(spec, (0, 2, 3, 1)),
+            jnp.transpose(diff, (0, 2, 3, 1)))
+
+
+def _sh_shade_fwd(rays_dir, rays_lt, alpha_map, coeff, lmax, r_spec,
+                  interpret):
+    out = sh_shade(rays_dir, rays_lt, alpha_map, coeff, lmax, r_spec,
+                   interpret)
+    return out, (rays_dir, rays_lt, alpha_map, coeff)
+
+
+def _sh_shade_bwd(lmax, r_spec, interpret, res, g):
+    rays_dir, rays_lt, alpha_map, coeff = res
+    gs, gd = g
+    rd_t = jnp.transpose(rays_dir, (0, 4, 3, 1, 2))
+    rl_t = jnp.transpose(rays_lt, (0, 3, 4, 1, 2))
+    al_t = jnp.transpose(alpha_map, (0, 3, 1, 2))
+    gs_t = jnp.transpose(gs.astype(jnp.float32), (0, 3, 1, 2))
+    gd_t = jnp.transpose(gd.astype(jnp.float32), (0, 3, 1, 2))
+    dlt_t, dcf = _sh_shade_bwd_impl(
+        rd_t, rl_t, al_t, coeff, gs_t, gd_t, lmax, r_spec, interpret
+    )
+    dlt = jnp.transpose(dlt_t, (0, 3, 4, 1, 2))
+    return (jnp.zeros_like(rays_dir), dlt.astype(rays_lt.dtype),
+            jnp.zeros_like(alpha_map), dcf.astype(coeff.dtype))
+
+
+sh_shade.defvjp(_sh_shade_fwd, _sh_shade_bwd)

@@ -1,0 +1,104 @@
+"""Interpret-mode parity of the fused SH-shading kernel vs the XLA math."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rnr_tpu.ops.sh import evaluate_sh_basis
+from rnr_tpu.ops.sh_pallas import sh_shade
+
+LMAX = 4
+R_SPEC = 3
+R_TOTAL = 5
+C = 3
+
+
+def _ref(rays_dir, rays_lt, alpha, coeff):
+    # [N,H,W,3,R] -> per-ray radiance via the closed-form basis
+    d = jnp.moveaxis(rays_dir, -1, 0)                      # [R,N,H,W,3]
+    basis = evaluate_sh_basis(LMAX, d)                     # [R,N,H,W,B]
+    rc = jnp.einsum("rnhwb,bc->rnhwc", basis, coeff)
+    rc = rc * alpha[None]
+    lt = jnp.moveaxis(rays_lt, -2, 0)                      # [R,N,H,W,C]
+    spec = jnp.mean(lt[:R_SPEC] * rc[:R_SPEC], axis=0)
+    diff = jnp.mean(lt[R_SPEC:] * rc[R_SPEC:], axis=0)
+    return spec, diff
+
+
+def _data(n=1, h=16, w=16, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.standard_normal((n, h, w, 3, R_TOTAL)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=3, keepdims=True)
+    lt = rng.uniform(0, 2, (n, h, w, R_TOTAL, C)).astype(np.float32)
+    alpha = (rng.uniform(size=(n, h, w, 1)) > 0.3).astype(np.float32)
+    coeff = rng.standard_normal(((LMAX + 1) ** 2, C)).astype(np.float32)
+    return (jnp.asarray(d), jnp.asarray(lt), jnp.asarray(alpha),
+            jnp.asarray(coeff))
+
+
+def test_forward_parity():
+    d, lt, alpha, coeff = _data()
+    spec, diff = sh_shade(d, lt, alpha, coeff, LMAX, R_SPEC, True)
+    spec_r, diff_r = _ref(d, lt, alpha, coeff)
+    np.testing.assert_allclose(np.asarray(spec), np.asarray(spec_r),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(diff), np.asarray(diff_r),
+                               rtol=0, atol=1e-4)
+
+
+def test_gradient_parity():
+    d, lt, alpha, coeff = _data(seed=1)
+    rng = np.random.default_rng(9)
+    cs = jnp.asarray(rng.standard_normal((1, 16, 16, C)).astype(np.float32))
+    cd = jnp.asarray(rng.standard_normal((1, 16, 16, C)).astype(np.float32))
+
+    def loss_pallas(lt, coeff):
+        s, f = sh_shade(d, lt, alpha, coeff, LMAX, R_SPEC, True)
+        return jnp.sum(s * cs) + jnp.sum(f * cd)
+
+    def loss_ref(lt, coeff):
+        s, f = _ref(d, lt, alpha, coeff)
+        return jnp.sum(s * cs) + jnp.sum(f * cd)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(lt, coeff)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(lt, coeff)
+    for a, e, name in zip(gp, gr, ("d_rays_lt", "d_coeff")):
+        scale = np.abs(np.asarray(e)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(e) / scale,
+            rtol=0, atol=1e-4, err_msg=name,
+        )
+
+
+def test_bf16_rays_lt():
+    d, lt, alpha, coeff = _data(seed=2)
+    s16, f16 = sh_shade(
+        d.astype(jnp.bfloat16), lt.astype(jnp.bfloat16), alpha, coeff,
+        LMAX, R_SPEC, True,
+    )
+    s32, f32_ = _ref(d, lt, alpha, coeff)
+    scale = np.abs(np.asarray(s32)).max() + 1e-6
+    assert np.abs(np.asarray(s16) - np.asarray(s32)).max() / scale < 0.05
+
+
+def test_ray_render_sh_backend_parity():
+    """ray_render_sh pallas_interpret vs xla: full output-dict parity."""
+    from rnr_tpu.models.rays import ray_render_sh
+
+    d, lt, alpha, coeff = _data(seed=3)
+    alb = jnp.asarray(
+        np.random.default_rng(4).uniform(0, 1, (1, 16, 16, 3))
+        .astype(np.float32)
+    )
+    kw = dict(num_ray_diffuse=R_TOTAL - R_SPEC, albedo_diffuse=alb,
+              separate_albedo=True)
+    a = ray_render_sh(alb, d, alpha, lt, coeff, LMAX,
+                      backend="pallas_interpret", **kw)
+    b = ray_render_sh(alb, d, alpha, lt, coeff, LMAX, backend="xla", **kw)
+    for k in ("out", "out_specular", "out_diffuse", "ltt_specular_map",
+              "ltt_diffuse_map"):
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=0, atol=1e-4,
+            err_msg=k,
+        )
