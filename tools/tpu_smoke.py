@@ -252,6 +252,63 @@ def main():
         "config": "512^2, 12000 faces, rgb+alpha coverage grads",
     }
 
+    # --- 6. fused SH shading kernel vs XLA scan path ------------------
+    from rnr_tpu.models.rays import ray_render_sh
+
+    S2 = 512
+    rngd = np.random.default_rng(1)
+    d6 = rngd.standard_normal((1, S2, S2, 3, 26)).astype(np.float32)
+    d6 /= np.linalg.norm(d6, axis=3, keepdims=True)
+    d6 = jnp.asarray(d6)
+    lt6 = jnp.asarray(
+        rngd.uniform(0, 2, (1, S2, S2, 26, 3)).astype(np.float32))
+    al6 = jnp.asarray(
+        (rngd.uniform(size=(1, S2, S2, 1)) > 0.3).astype(np.float32))
+    cf6 = jnp.asarray(rngd.standard_normal((121, 3)).astype(np.float32))
+    alb6 = jnp.asarray(
+        rngd.uniform(0, 1, (1, S2, S2, 3)).astype(np.float32))
+    kw6 = dict(num_ray_diffuse=13, albedo_diffuse=alb6,
+               separate_albedo=True)
+
+    def run_sh(backend):
+        f = jax.jit(lambda: ray_render_sh(
+            alb6, d6, al6, lt6, cf6, 10, backend=backend, **kw6)["out"])
+        out = f()
+        _sync(out)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = f()
+        _sync(out)
+        return np.asarray(out), (time.perf_counter() - t0) / 5
+
+    out_p, t_p = run_sh("pallas")
+    out_x, t_x = run_sh("xla")
+    rel_sh = float(np.max(np.abs(out_p - out_x))
+                   / (np.max(np.abs(out_x)) + 1e-9))
+    # fwd+bwd through the kernel
+    g_p = jax.jit(jax.grad(lambda lt, cf: jnp.sum(ray_render_sh(
+        alb6, d6, al6, lt, cf, 10, backend="pallas", **kw6
+    )["out"] ** 2), argnums=(0, 1)))
+    gl, gc = g_p(lt6, cf6)
+    _sync(gl)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        gl, gc = g_p(lt6, cf6)
+    _sync(gl)
+    t_pb = (time.perf_counter() - t0) / 5
+    sh_finite = bool(np.isfinite(np.asarray(gl)).all()
+                     and np.isfinite(np.asarray(gc)).all())
+    print(f"sh_shade 512^2/26rays  fwd {t_p*1e3:7.1f} ms (xla "
+          f"{t_x*1e3:.1f})  fwd+bwd {t_pb*1e3:7.1f} ms  rel err "
+          f"{rel_sh:.5f}  grads finite: {sh_finite}")
+    gates["sh_shade"] = {
+        "pass": bool(rel_sh < 1e-3 and sh_finite),
+        "rel_err": round(rel_sh, 6),
+        "fwd_ms": round(t_p * 1e3, 2),
+        "xla_fwd_ms": round(t_x * 1e3, 2),
+        "fwdbwd_ms": round(t_pb * 1e3, 2),
+    }
+
     out_path = os.environ.get("KERNELS_JSON", "")
     if out_path:
         record = {
