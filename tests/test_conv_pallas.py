@@ -268,6 +268,9 @@ def test_rnr_train_step_pallas_convs():
         img_size=32, tex_size=32, lmax=2, num_sample=64, nf0=8,
         num_down=3, gcn_blocks=2, gcn_v=64, num_azi=2, num_polar=1,
         rays_dtype="bfloat16", conv_backend="pallas_interpret",
+        # 'wide' remat wraps the Pallas custom-VJP convs in nn.remat —
+        # covers the replay-forward interaction too
+        remat="wide",
     )
     state, tx = create_rnr_state(model, jax.random.PRNGKey(0), batch,
                                  cfg.train.lr)
