@@ -57,6 +57,10 @@ def main() -> None:
     conv_backend = os.environ.get("BENCH_CONV_BACKEND", "xla")
     rays_dtype = os.environ.get("BENCH_RAYS_DTYPE", "float32")
     gcn_dtype = os.environ.get("BENCH_GCN_DTYPE", "float32")
+    # PRNG impl for the per-step rng (dropout masks + stochastic GCN
+    # dilation): "rbg" uses the TPU's hardware RNG instead of threefry
+    # software rounds — distributionally identical streams
+    prng_impl = os.environ.get("BENCH_PRNG", "threefry2x32")
     steps = int(os.environ.get("BENCH_STEPS", 5))
     gcn_blocks = int(os.environ.get("BENCH_GCN_BLOCKS", 20))
     gcn_v = int(os.environ.get("BENCH_V", 7500))
@@ -79,7 +83,7 @@ def main() -> None:
         gcn_dtype=gcn_dtype,
     )
 
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl=prng_impl)
     state, tx = create_rnr_state(model, rng, batch, cfg.train.lr)
     nprng = np.random.default_rng(1)
     statics = {

@@ -120,7 +120,8 @@ def main():
         model, state, batch, statics, step = build_step(
             batch_n, remat, conv_backend, rays_dtype
         )
-        rng = jax.random.PRNGKey(2)
+        rng = jax.random.key(
+            2, impl=os.environ.get("R3_PRNG", "threefry2x32"))
         for _ in range(2):
             rng, sub = jax.random.split(rng)
             state, m = step(state, batch, statics, sub)
