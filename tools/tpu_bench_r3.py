@@ -159,8 +159,8 @@ def main():
         best_conv = os.environ.get("R3_BEST_CONV", "xla")
         best_rays = os.environ.get("R3_BEST_RAYS", "bfloat16")
         rows = {}
-        for batch_n, remat in ((2, False), (2, "wide"), (4, "wide"),
-                               (4, True)):
+        for batch_n, remat in ((2, False), (2, "wide"), (4, False),
+                               (4, "wide"), (4, True)):
             tag = f"b{batch_n}_remat_{remat}"
             try:
                 dt, loss0, _ = time_step(
