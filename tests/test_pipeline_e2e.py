@@ -257,6 +257,34 @@ def test_test_rnr_inference(precomputed, trained_rnr):
     assert img.max() > 0  # something rendered
 
 
+def test_test_rnr_per_stage_timing(precomputed, trained_rnr, capsys):
+    """--per_stage_timing renders correctly and prints the reference's
+    full bucket granularity (t_raster/t_preproc/t_sh/t_texture/t_rays/
+    t_network/t_render — test_rnr.py:280-374)."""
+    from rnr_tpu.drivers import test_rnr
+
+    out_dir = os.path.join(trained_rnr, "render_staged")
+    test_rnr.main(
+        [
+            "--data_root", precomputed,
+            "--checkpoint_dir", trained_rnr,
+            "--obj_high_fp", "_/mesh.obj", "--obj_gcn_fp", "_/mesh.obj",
+            "--img_size", "64",
+            "--sampling_pattern", "only_2",
+            "--lighting_idx", "0",
+            "--sphere_samples_fp", "nonexistent.mat",
+            "--out_dir", out_dir,
+            "--per_stage_timing", "true",
+        ]
+    )
+    txt = capsys.readouterr().out
+    for bucket in ("t_prep", "t_raster", "t_preproc", "t_sh",
+                   "t_texture", "t_rays", "t_network", "t_render"):
+        assert bucket in txt, bucket
+    img = cv2.imread(os.path.join(out_dir, "learned0", "000002.png"))
+    assert img is not None and img.max() > 0
+
+
 def test_test_rnr_novel_light_sh_vs_probe(precomputed, trained_rnr):
     """Novel-probe relighting: the SH-projected fast path (reference
     test_rnr.py:153-163) agrees with the raw probe-gather path."""
