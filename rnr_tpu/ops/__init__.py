@@ -56,3 +56,5 @@ from rnr_tpu.ops.render_api import (
 from rnr_tpu.ops.edge_grad import silhouette, rasterize_opt
 from rnr_tpu.ops.knn_pallas import stratified_knn
 from rnr_tpu.ops.texture_pallas import mipmap_sample, gather_taps, scatter_taps
+from rnr_tpu.ops.conv_pallas import conv3x3, down4, convt4
+from rnr_tpu.ops.sh_pallas import sh_shade
