@@ -72,11 +72,16 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="storage dtype of the per-ray tensors (bf16 "
                         "halves their HBM traffic; reductions stay f32)")
-    p.add_argument("--unet_remat", default=False,
-                   type=lambda x: (
-                       x if str(x).lower() in ["wide", "all", "none"]
-                       else str(x).lower() in ["true", "1"]
-                   ),
+    def _remat_arg(x):
+        v = str(x).lower()
+        if v in ("wide", "all", "none"):
+            return False if v == "none" else v
+        if v in ("true", "1", "false", "0"):
+            return v in ("true", "1")
+        raise argparse.ArgumentTypeError(
+            f"--unet_remat must be false|true|all|wide|none, got {x!r}"
+        )
+    p.add_argument("--unet_remat", default=False, type=_remat_arg,
                    help="rematerialize U-Net blocks: false | all/true | "
                         "wide (two widest levels only — needed for "
                         "batch>=4 at 512^2 on one chip)")

@@ -278,18 +278,24 @@ def ray_render_sh(
     r_spec = r_total - num_ray_diffuse
     coeff = sh_coeff * lp_scale_factor
 
+    # both implementations treat alpha/directions as data (the Pallas
+    # VJP returns zero for them); stop the gradient here so the XLA path
+    # has identical gradient semantics (code-review r3)
+    alpha_map = jax.lax.stop_gradient(alpha_map)
+    rays_dir = jax.lax.stop_gradient(rays_dir)
+
     # fused Pallas kernel: ladder + radiance + fan reduction all in VMEM
     # (ops/sh_pallas.py) — rays_color never materializes in HBM, in
     # either direction.  "auto" = on for TPU-class backends.
-    use_kernel = backend in ("pallas", "pallas_interpret") or (
-        backend == "auto" and jax.default_backend() not in ("cpu",)
-    )
+    from rnr_tpu.ops.backend import pallas_interpret, use_pallas
+
+    use_kernel = use_pallas(backend)
     if use_kernel:
         from rnr_tpu.ops.sh_pallas import sh_shade
 
         ltt_specular, ltt_diffuse = sh_shade(
             rays_dir, rays_lt, alpha_map, coeff, sh_lmax, r_spec,
-            backend == "pallas_interpret",
+            pallas_interpret(backend),
         )
         out_specular = (
             ltt_specular if no_albedo else albedo_specular * ltt_specular

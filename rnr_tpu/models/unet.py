@@ -75,21 +75,20 @@ class Conv(nn.Module):
                        jnp.float32)
             if self.use_bias else None
         )
+        from rnr_tpu.ops.backend import pallas_interpret, use_pallas
+
         dt = self.dtype or x.dtype
         x = x.astype(dt)
-        use_pallas = self.backend == "pallas_interpret" or (
-            self.backend == "pallas"
-            and jax.default_backend() not in ("cpu",)
-        )
-        interp = self.backend == "pallas_interpret"
-        if use_pallas and k == 3 and self.stride == 1:
+        pallas_on = use_pallas(self.backend) and self.backend != "auto"
+        interp = pallas_interpret(self.backend)
+        if pallas_on and k == 3 and self.stride == 1:
             from rnr_tpu.ops.conv_pallas import conv3x3
 
             b = bias if bias is not None else jnp.zeros(
                 (self.features,), jnp.float32
             )
             return conv3x3(x, kernel, b, self.pad_mode, False, 0.2, interp)
-        if use_pallas and k == 4 and self.stride == 2:
+        if pallas_on and k == 4 and self.stride == 2:
             from rnr_tpu.ops.conv_pallas import down4
 
             y = down4(x, kernel, self.pad_mode, interp)
@@ -133,16 +132,14 @@ class ConvTranspose(nn.Module):
                        jnp.float32)
             if self.use_bias else None
         )
+        from rnr_tpu.ops.backend import pallas_interpret, use_pallas
+
         dt = self.dtype or x.dtype
         x = x.astype(dt)
-        use_pallas = self.backend == "pallas_interpret" or (
-            self.backend == "pallas"
-            and jax.default_backend() not in ("cpu",)
-        )
-        if use_pallas:
+        if use_pallas(self.backend) and self.backend != "auto":
             from rnr_tpu.ops.conv_pallas import convt4
 
-            y = convt4(x, kernel, self.backend == "pallas_interpret")
+            y = convt4(x, kernel, pallas_interpret(self.backend))
         else:
             y = jax.lax.conv_transpose(
                 x, kernel.astype(dt), (2, 2), "SAME",

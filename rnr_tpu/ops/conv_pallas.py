@@ -131,7 +131,10 @@ def _conv3x3_fwd_impl(
     if row_pad:
         xp = jnp.pad(xp, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
 
-    wk = w.astype(jnp.bfloat16).reshape(3, 3 * c, o)
+    # weights at the activation dtype: bf16 activations get bf16
+    # multiplicands (f32 accumulation); f32 activations (e.g.
+    # --unet_compute_dtype float32) keep f32 convs on this path too
+    wk = w.astype(x.dtype).reshape(3, 3 * c, o)
     # [dy] rows must pack (dx, c) in the same order the kernel builds
     # xcat: concat over dx of [.., C] -> k index = dx*C + c.  w is
     # [dy, dx, c, o] so reshape(3, 3*c, o) already matches.
@@ -406,15 +409,14 @@ def _down4_fwd_impl(x, w, pad_mode="same", out_dtype=jnp.bfloat16,
     e = e[:, :, :wo + 1]
     od = od[:, :, :wo + 1]
 
-    th = max(8 // 8, _pick_th(wo, 4 * c, o) // 2)
-    th = max(th, 1)
+    th = max(_pick_th(wo, 4 * c, o) // 2, 1)
     grid_rows = pl.cdiv(ho, th)
     row_pad = grid_rows * th * 2 + 2 - e.shape[1]
     if row_pad > 0:
         e = jnp.pad(e, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
         od = jnp.pad(od, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
 
-    wk = w.astype(jnp.bfloat16)
+    wk = w.astype(x.dtype)
     # kernel packs taps as [E[j], O[j], E[j+1], O[j+1]] = dx [0, 1, 2, 3]
     wk = wk.reshape(4, 4 * c, o)  # [dy, (dx, c), o] — dx-major like concat
     kernel = _down4_kernel(th, wo, c, o, jnp.dtype(out_dtype))
@@ -507,7 +509,7 @@ def _convt4_fwd_impl(x, w, out_dtype=jnp.bfloat16, interpret=False):
     if row_pad > 0:
         xq = jnp.pad(xq, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
 
-    wk = w.astype(jnp.bfloat16)  # [4, 4, C, O] indexed [wr, wc] in-kernel
+    wk = w.astype(x.dtype)  # [4, 4, C, O] indexed [wr, wc] in-kernel
     kernel = _convt4_kernel(th, width, c, o, jnp.dtype(out_dtype))
     out = pl.pallas_call(
         kernel,

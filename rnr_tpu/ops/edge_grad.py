@@ -69,9 +69,9 @@ def _rasterize_winner(
     lax.cond — runtime cost only when taken (same pattern as the texture
     kernels' XLA fallback, ops/texture_pallas.py::mipmap_sample).
     """
-    use_pallas = backend in ("pallas", "pallas_interpret") or (
-        backend == "auto" and jax.default_backend() not in ("cpu",)
-    )
+    from rnr_tpu.ops.backend import use_pallas as _up
+
+    use_pallas = _up(backend)
     tile_h, tile_w = min(32, image_size), min(128, image_size)
     if image_size % tile_h or image_size % tile_w:
         use_pallas = False  # non-tileable size: oracle handles any S

@@ -86,15 +86,15 @@ def _project_and_raster(
 
     # "pallas" = tile-binned production kernel (TPU); "xla" = scan oracle;
     # "auto" picks pallas on TPU-class backends.
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() not in ("cpu",)
-    )
-    if use_pallas:
+    from rnr_tpu.ops.backend import pallas_interpret, use_pallas
+
+    if use_pallas(backend):
         from rnr_tpu.ops.rasterize_pallas import rasterize_pallas
 
         raster = rasterize_pallas(
             faces_ndc, s, near=near, far=far,
             tile_h=min(32, s), tile_w=min(128, s),
+            interpret=pallas_interpret(backend),
         )
     else:
         raster = rasterize_face_index(

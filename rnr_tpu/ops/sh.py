@@ -77,9 +77,15 @@ def evaluate_sh_basis(lmax: int, directions: jax.Array) -> jax.Array:
     # term carries st^m = 0, so the azimuthal value there is irrelevant;
     # guard with (1, 0).
     sqrt2 = math.sqrt(2.0)
-    rxy = jnp.sqrt(x * x + y * y)
-    inv_rxy = jnp.where(rxy > 0, 1.0 / jnp.maximum(rxy, 1e-30), 0.0)
-    c1 = jnp.where(rxy > 0, x * inv_rxy, 1.0)
+    # rsqrt of the CLAMPED squared norm: sqrt'(0)=inf would leak NaN into
+    # any future backward through directions even though the value is
+    # guarded (the round-2 chrom-loss trap, CLAUDE.md) — maximum() inside
+    # the sqrt cuts the gradient chain at the pole instead.
+    r2 = x * x + y * y
+    inv_rxy = jnp.where(
+        r2 > 0, jax.lax.rsqrt(jnp.maximum(r2, 1e-60)), 0.0
+    )
+    c1 = jnp.where(r2 > 0, x * inv_rxy, 1.0)
     s1 = y * inv_rxy
     cos_m = [None] * (lmax + 1)
     sin_m = [None] * (lmax + 1)

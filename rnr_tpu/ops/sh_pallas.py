@@ -50,9 +50,11 @@ def _emit_basis(x, y, z, lmax, store):
     inv_sqrt_4pi = 1.0 / math.sqrt(4.0 * math.pi)
     sqrt2 = math.sqrt(2.0)
 
-    rxy = jnp.sqrt(x * x + y * y)
-    inv_rxy = jnp.where(rxy > 0, 1.0 / jnp.maximum(rxy, 1e-30), 0.0)
-    c1 = jnp.where(rxy > 0, x * inv_rxy, 1.0)
+    r2 = x * x + y * y
+    inv_rxy = jnp.where(
+        r2 > 0, jax.lax.rsqrt(jnp.maximum(r2, 1e-60)), 0.0
+    )
+    c1 = jnp.where(r2 > 0, x * inv_rxy, 1.0)
     s1 = y * inv_rxy
 
     cos_m = [None] * (lmax + 1)

@@ -78,6 +78,40 @@ def shard_rnr_batch(batch: dict[str, jax.Array], mesh: Mesh) -> dict:
     return out
 
 
+
+
+def _spmd_safe_model(model):
+    """Force partitionable (XLA) compute paths for mesh-sharded programs.
+
+    pallas_call has no GSPMD partitioning rule: under a sharded jit a
+    Pallas kernel would either fail to partition or silently all-gather
+    its (sp-row-sharded) operands.  The sharded step builders therefore
+    rebuild the model with the XLA formulations of every dual-backend op
+    (identical numerics — parity-pinned in tests).
+    """
+    import dataclasses
+
+    cfg = model.cfg
+    needs = (
+        cfg.rays.sh_kernel != "xla"
+        or cfg.render_net.conv_backend != "xla"
+    )
+    if not needs:
+        return model
+    new_cfg = dataclasses.replace(
+        cfg,
+        rays=dataclasses.replace(cfg.rays, sh_kernel="xla"),
+        render_net=dataclasses.replace(
+            cfg.render_net, conv_backend="xla"
+        ),
+    )
+    return type(model)(
+        cfg=new_cfg,
+        l_dir=model.l_dir,
+        init_lighting_coeff=model.init_lighting_coeff,
+        texture_init=model.texture_init,
+    )
+
 def make_sharded_rnr_train_step(
     model,
     tx,
@@ -92,7 +126,8 @@ def make_sharded_rnr_train_step(
     """
     from rnr_tpu.train.steps import make_rnr_train_step
 
-    base_step = make_rnr_train_step(model, tx, lighting_idx)
+    base_step = make_rnr_train_step(_spmd_safe_model(model), tx,
+                                    lighting_idx)
 
     rep = replicated(mesh)
 
@@ -141,7 +176,7 @@ def make_sharded_rnr_eval_step(model, mesh: Mesh, lighting_idx: int = 0
     exchanges from the SPMD partitioner."""
     from rnr_tpu.train.steps import make_rnr_eval_step
 
-    base = make_rnr_eval_step(model, lighting_idx)
+    base = make_rnr_eval_step(_spmd_safe_model(model), lighting_idx)
     rep = replicated(mesh)
 
     def sharded_eval(state, batch, lp_override=None, relight=False,

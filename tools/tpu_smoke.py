@@ -13,8 +13,8 @@ hardware checks batch here:
 
 Emits a machine-readable gate record (kernel -> parity pass/fail +
 on-device ms) to the path in $KERNELS_JSON (default
-KERNELS_r.json beside the repo root) — the round-over-round
-regression tripwire for the Pallas kernels (VERDICT r2 item 6).
+tools/out/kernels_gates.json) — the round-over-round regression
+tripwire for the Pallas kernels (VERDICT r2 item 6).
 
 Usage: [KERNELS_JSON=KERNELS_r03.json] python tools/tpu_smoke.py
 """
@@ -309,7 +309,10 @@ def main():
         "fwdbwd_ms": round(t_pb * 1e3, 2),
     }
 
-    out_path = os.environ.get("KERNELS_JSON", "")
+    out_path = os.environ.get("KERNELS_JSON") or os.path.join(
+        os.path.dirname(__file__), "out", "kernels_gates.json"
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
     if out_path:
         record = {
             "backend": jax.default_backend(),
