@@ -40,6 +40,19 @@ def main() -> None:
     except Exception:
         pass
 
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        # TPU tunnel down (round-3 saw multi-hour UNAVAILABLE outages):
+        # emit a diagnostic line instead of a traceback so the record
+        # shows WHY no number exists
+        print(json.dumps({
+            "metric": "rnr_train_512x512_frames_per_s_per_chip_fwdbwd",
+            "value": None, "unit": "frames/s", "vs_baseline": None,
+            "extras": {"error": f"backend unavailable: {e}"[:300]},
+        }))
+        return
+
     from __graft_entry__ import _build
     from rnr_tpu.train import create_rnr_state, make_rnr_train_step
     from rnr_tpu.train.steps import rnr_texture_flatten_init
