@@ -1,0 +1,72 @@
+"""bench.py tuned-config resolution: file defaults vs env overrides.
+
+The round-3 on-device queue writes tools/out/best_config.json with the
+A/B-winning conv backend / rays dtype (tools/tpu_bench_r3.py); a
+driver-run `python bench.py` must pick those up with no env set, and
+BENCH_* env vars must still win over the file.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def bench_mod(tmp_path, monkeypatch):
+    # import bench.py from a COPY rooted in tmp_path so the test controls
+    # the sibling tools/out/best_config.json without touching the repo's
+    with open(os.path.join(REPO, "bench.py")) as f:
+        src = f.read()
+    bench_py = tmp_path / "bench.py"
+    bench_py.write_text(src)
+    (tmp_path / "tools" / "out").mkdir(parents=True)
+    spec = importlib.util.spec_from_file_location("_bench_copy", bench_py)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["_bench_copy"] = spec.loader.exec_module(mod) or mod
+    for var in ("BENCH_CONV_BACKEND", "BENCH_RAYS_DTYPE", "BENCH_GCN_DTYPE"):
+        monkeypatch.delenv(var, raising=False)
+    yield mod, tmp_path
+    sys.modules.pop("_bench_copy", None)
+
+
+def test_defaults_without_file(bench_mod):
+    mod, _ = bench_mod
+    got = mod.resolve_tuned_config()
+    assert got == {"conv_backend": "xla", "rays_dtype": "float32",
+                   "gcn_dtype": "float32"}
+
+
+def test_file_supplies_defaults(bench_mod):
+    mod, root = bench_mod
+    with open(root / "tools" / "out" / "best_config.json", "w") as f:
+        json.dump({"conv_backend": "pallas", "rays_dtype": "bfloat16"}, f)
+    got = mod.resolve_tuned_config()
+    assert got["conv_backend"] == "pallas"
+    assert got["rays_dtype"] == "bfloat16"
+    assert got["gcn_dtype"] == "float32"  # absent key keeps default
+
+
+def test_env_overrides_file(bench_mod, monkeypatch):
+    mod, root = bench_mod
+    with open(root / "tools" / "out" / "best_config.json", "w") as f:
+        json.dump({"conv_backend": "pallas", "rays_dtype": "bfloat16"}, f)
+    monkeypatch.setenv("BENCH_CONV_BACKEND", "xla")
+    monkeypatch.setenv("BENCH_RAYS_DTYPE", "float32")
+    got = mod.resolve_tuned_config()
+    assert got["conv_backend"] == "xla"
+    assert got["rays_dtype"] == "float32"
+
+
+def test_corrupt_file_falls_back(bench_mod):
+    mod, root = bench_mod
+    with open(root / "tools" / "out" / "best_config.json", "w") as f:
+        f.write("{not json")
+    got = mod.resolve_tuned_config()
+    assert got["conv_backend"] == "xla"
