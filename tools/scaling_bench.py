@@ -12,6 +12,7 @@ indicative only.
 
 Usage:
   python tools/scaling_bench.py [--devices 1,2,4,8] [--img 64] [--steps 3]
+  python tools/scaling_bench.py --eval   # serving path: sharded eval step
 """
 
 from __future__ import annotations
@@ -34,6 +35,10 @@ def main() -> None:
     p.add_argument("--img", type=int, default=64)
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--eval", action="store_true",
+                   help="time the sharded INFERENCE step (serving path, "
+                        "v_feature cached across frames like "
+                        "drivers/test_rnr) instead of the train step")
     p.add_argument("--virtual", default=True,
                    type=lambda x: str(x).lower() in ["true", "1"],
                    help="force an 8-device virtual CPU platform")
@@ -78,23 +83,52 @@ def main() -> None:
                 model, state.params
             ),
         }
-        if n == 1:
+        if opt.eval:
+            # serving path: view-independent GCN feature computed once
+            # per sequence and reused every frame (drivers/test_rnr.py
+            # restores v_feature exactly like the reference
+            # test_rnr.py:168-182 restores it from the checkpoint)
+            from rnr_tpu.parallel import make_sharded_rnr_eval_step
+            from rnr_tpu.train.steps import make_rnr_eval_step
+
+            variables = {
+                "params": state.params, "constants": state.constants,
+                "spectral": state.spectral,
+            }
+            v_feature = model.apply(
+                variables, batch["gcn_pos"],
+                method=lambda mm, p_: mm.compute_v_feature(p_),
+            )
+            if n == 1:
+                estep = make_rnr_eval_step(model)
+            else:
+                mesh = make_mesh(n, dp=dp)
+                estep = make_sharded_rnr_eval_step(model, mesh)
+            out = estep(state, batch, v_feature=v_feature)
+            float(jnp.sum(out["img"][0, 0, 0]))  # compile + sync
+            t0 = time.perf_counter()
+            for _ in range(opt.steps):
+                out = estep(state, batch, v_feature=v_feature)
+            float(jnp.sum(out["img"][0, 0, 0]))
+            dt = time.perf_counter() - t0
+        elif n == 1:
             from rnr_tpu.train.steps import make_rnr_train_step
 
             step = make_rnr_train_step(model, tx)
         else:
             mesh = make_mesh(n, dp=dp)
             step = make_sharded_rnr_train_step(model, tx, mesh)
-        key = jax.random.PRNGKey(2)
-        s, m = step(state, batch, statics, key)
-        float(m["loss"])  # compile + sync (scalar fetch, not block_until)
-        t0 = time.perf_counter()
-        s2 = state
-        for _ in range(opt.steps):
-            key, sub = jax.random.split(key)
-            s2, m = step(s2, batch, statics, sub)
-        float(m["loss"])
-        dt = time.perf_counter() - t0
+        if not opt.eval:
+            key = jax.random.PRNGKey(2)
+            s, m = step(state, batch, statics, key)
+            float(m["loss"])  # compile + sync (scalar fetch, not block_until)
+            t0 = time.perf_counter()
+            s2 = state
+            for _ in range(opt.steps):
+                key, sub = jax.random.split(key)
+                s2, m = step(s2, batch, statics, sub)
+            float(m["loss"])
+            dt = time.perf_counter() - t0
         rays = (
             float(jnp.sum(batch["alpha_map"][0])) * 2 * (6 * 2 + 1) * dp
         )
