@@ -14,6 +14,23 @@ import subprocess
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_PKG_DIR = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _find_lib() -> str | None:
+    """Search order: env override, installed-package copy (setup.py
+    builds rnr_tpu/librnr_native.so), repo-checkout native/ dir."""
+    candidates = [
+        os.environ.get("RNR_NATIVE_LIB"),
+        os.path.abspath(os.path.join(_PKG_DIR, "librnr_native.so")),
+        os.path.abspath(os.path.join(_NATIVE_DIR, "librnr_native.so")),
+    ]
+    for c in candidates:
+        if c and os.path.isfile(c):
+            return c
+    return None
+
+
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "librnr_native.so"))
 
 _lib = None
@@ -44,10 +61,13 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.isfile(_LIB_PATH) and not _build():
-        return None
+    path = _find_lib()
+    if path is None:
+        if not _build():
+            return None
+        path = _LIB_PATH
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(path)
     except OSError:
         return None
     lib.rnr_obj_count.argtypes = [ctypes.c_char_p, ctypes.POINTER(_ObjCounts)]
