@@ -75,7 +75,15 @@ def main():
     ap.add_argument("--ablations", type=str,
                     default="default_strat,approx_windowed,exact,"
                             "strat_refresh4")
+    # forwarded to every driver invocation; pass "cpu" to validate the
+    # gate pipeline off-TPU (the sitecustomize-registered axon backend
+    # ignores JAX_PLATFORMS, so this must go through the drivers'
+    # setup_jax config path)
+    ap.add_argument("--platform", type=str, default=None)
     args = ap.parse_args()
+    platform_args = (
+        ["--platform", args.platform] if args.platform else []
+    )
 
     from test_pipeline_e2e import make_scene
     from rnr_tpu.drivers import precompute, stitch_lp, train_rnr
@@ -92,7 +100,7 @@ def main():
             make_scene(root, num_view=24, hw=args.img, n_lat=24, n_lon=36)
         precompute.main(
             ["--data_root", root, "--img_size", str(args.img),
-             "--sampling_pattern", "all"]
+             "--sampling_pattern", "all", *platform_args]
         )
         stitch_lp.main(
             ["--data_root", root, "--sampling_pattern", "skipinv_4",
@@ -124,6 +132,7 @@ def main():
         "--ckp_freq", "1000000", "--log_freq", "200",
         "--sampling_pattern", "skipinv_4",
         "--sampling_pattern_val", "only_0",
+        *platform_args,
     ]
 
     results = {}
