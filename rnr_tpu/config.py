@@ -69,6 +69,13 @@ class GCNTrainConfig:
     kernel_size: int = 16
     block_type: str = "res"
     conv_type: str = "edge"
+    # BasicConv knobs (reference train_rnr.py:88-90).  NOTE: the
+    # reference CLI defaults to norm_type='batch'; rnr_tpu ships
+    # norm_type=None (recorded benches/quality gates were measured
+    # without the norm) — see PARITY.md "Known deltas".
+    act_type: str = "relu"
+    norm_type: str | None = None
+    use_bias: bool = True
     n_filters: int = 64
     n_blocks: int = 20
     epsilon: float = 0.2

@@ -108,6 +108,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--stochastic", default=True,
                    type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--out_channels_gcn", default=512, type=int)
+    # graph backbone structure (reference train_rnr.py:86-90); the
+    # reference CLI default for --norm_type is 'batch' — rnr_tpu defaults
+    # to 'none' (see PARITY.md "Known deltas")
+    p.add_argument("--block_type", default="res", type=str,
+                   choices=["res", "dense"])
+    p.add_argument("--conv_type", default="edge", type=str,
+                   choices=["edge", "mr"])
+    p.add_argument("--act_type", default="relu", type=str,
+                   choices=["relu", "leakyrelu", "prelu"])
+    p.add_argument("--norm_type", default="none", type=str,
+                   choices=["none", "batch", "instance"])
+    p.add_argument("--bias", default=True,
+                   type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--use_gcn", default=True,
                    type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--knn_approx", default=True,
@@ -452,6 +465,10 @@ def main(argv=None) -> None:
         gcn=GCNTrainConfig(
             kernel_size=opt.kernel_size, n_filters=opt.n_filters,
             n_blocks=opt.n_blocks, epsilon=opt.epsilon,
+            block_type=opt.block_type, conv_type=opt.conv_type,
+            act_type=opt.act_type,
+            norm_type=None if opt.norm_type == "none" else opt.norm_type,
+            use_bias=opt.bias,
             stochastic=opt.stochastic, out_channels=opt.out_channels_gcn,
             knn_approx=opt.knn_approx, knn_recall=opt.knn_recall,
             graph_refresh_every=opt.graph_refresh_every,

@@ -37,6 +37,22 @@ class GCNConfig:
     n_blocks: int = 20
     conv_type: Literal["edge", "mr"] = "edge"
     block_type: Literal["res", "dense"] = "res"
+    # BasicConv structure knobs (reference train_rnr.py:88-90,
+    # gcn_lib/dense/torch_nn.py:9-40): activation {relu, leakyrelu
+    # (slope 0.2), prelu (single learned slope, init 0.2)}, post-act
+    # normalization {None, "batch" (affine), "instance" (no affine)},
+    # conv bias.  Norms use current-batch statistics — the GCN only ever
+    # runs in train mode (the reference never .eval()s it; at inference
+    # v_feature is restored from the checkpoint, test_rnr.py:168-182),
+    # and with the [V, k] layout batch/instance statistics coincide
+    # (single sample), so no running stats are kept.
+    # NOTE default deviation: the reference CLI defaults to
+    # norm_type='batch'; rnr_tpu ships None (no norm) — the round-1/2
+    # quality gates and recorded benches were measured without it.  See
+    # PARITY.md "Known deltas".
+    act_type: Literal["relu", "leakyrelu", "prelu"] = "relu"
+    norm_type: str | None = None
+    use_bias: bool = True
     stochastic: bool = True
     epsilon: float = 0.2
     num_v: int = 7500
@@ -175,11 +191,57 @@ def dilate_edges(
 
 
 class EdgeConv(nn.Module):
-    """max_j MLP([x_i || x_j - x_i])  (gcn_lib/dense/torch_vertex.py:23-38)."""
+    """max_j MLP([x_i || x_j - x_i])  (gcn_lib/dense/torch_vertex.py:23-38).
+
+    The MLP is the reference's BasicConv (torch_nn.py:55-64): 1x1 conv ->
+    activation -> optional normalization, with the max over neighbors
+    taken AFTER the full BasicConv for conv_type="edge" and BEFORE it for
+    "mr" (torch_vertex.py:16-35).
+    """
 
     out_ch: int
     conv_type: Literal["edge", "mr"] = "edge"
+    act_type: str = "relu"
+    norm_type: str | None = None
+    use_bias: bool = True
     dtype: jnp.dtype | None = None
+
+    def _act(self, h: jax.Array) -> jax.Array:
+        if self.act_type == "relu":
+            return nn.relu(h)
+        if self.act_type == "leakyrelu":
+            return nn.leaky_relu(h, negative_slope=0.2)
+        if self.act_type == "prelu":
+            # torch nn.PReLU(num_parameters=1, init=0.2): one learned
+            # slope shared across channels
+            a = self.param("prelu_slope", nn.initializers.constant(0.2),
+                           (), jnp.float32)
+            return jnp.where(h >= 0, h, h * a.astype(h.dtype))
+        raise ValueError(f"act_type {self.act_type!r}")
+
+    def _norm(self, h: jax.Array) -> jax.Array:
+        """Per-channel current-batch-statistics norm over all leading axes.
+
+        'batch' = BatchNorm2d(affine) in perpetual train mode; 'instance'
+        = InstanceNorm2d(affine=False).  On the single-sample [V, k, C]
+        layout both normalize over the same (V, k) axes.
+        """
+        if self.norm_type is None or self.norm_type == "none":
+            return h
+        axes = tuple(range(h.ndim - 1))
+        h32 = h.astype(jnp.float32)
+        mean = jnp.mean(h32, axis=axes, keepdims=True)
+        var = jnp.var(h32, axis=axes, keepdims=True)
+        y = (h32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        if self.norm_type == "batch":
+            scale = self.param("norm_scale", nn.initializers.ones,
+                               (h.shape[-1],), jnp.float32)
+            bias = self.param("norm_bias", nn.initializers.zeros,
+                              (h.shape[-1],), jnp.float32)
+            y = y * scale + bias
+        elif self.norm_type != "instance":
+            raise ValueError(f"norm_type {self.norm_type!r}")
+        return y.astype(h.dtype)
 
     @nn.compact
     def __call__(self, x: jax.Array, idx: jax.Array) -> jax.Array:
@@ -191,12 +253,34 @@ class EdgeConv(nn.Module):
             feat = jnp.concatenate(
                 [jnp.broadcast_to(x_i, x_j.shape), x_j - x_i], axis=-1
             )
-            h = nn.relu(nn.Dense(self.out_ch, dtype=self.dtype)(feat))
+            h = self._norm(self._act(
+                nn.Dense(self.out_ch, use_bias=self.use_bias,
+                         dtype=self.dtype)(feat)))
             return jnp.max(h, axis=1)
         # max-relative conv (MRConv4D): max over neighbors first
         rel = jnp.max(x_j - x_i, axis=1)
         feat = jnp.concatenate([x, rel], axis=-1)
-        return nn.relu(nn.Dense(self.out_ch, dtype=self.dtype)(feat))
+        return self._norm(self._act(
+            nn.Dense(self.out_ch, use_bias=self.use_bias,
+                     dtype=self.dtype)(feat)))
+
+
+class _Act(nn.Module):
+    """Standalone act_layer (torch_nn.py:9-28) for the fusion block."""
+
+    act_type: str = "relu"
+
+    @nn.compact
+    def __call__(self, h: jax.Array) -> jax.Array:
+        if self.act_type == "relu":
+            return nn.relu(h)
+        if self.act_type == "leakyrelu":
+            return nn.leaky_relu(h, negative_slope=0.2)
+        if self.act_type == "prelu":
+            a = self.param("prelu_slope", nn.initializers.constant(0.2),
+                           (), jnp.float32)
+            return jnp.where(h >= 0, h, h * a.astype(h.dtype))
+        raise ValueError(f"act_type {self.act_type!r}")
 
 
 class SNDense(nn.Module):
@@ -260,7 +344,9 @@ class DenseDeepGCN(nn.Module):
         # head: static graph from positions
         idx0 = knn_graph(pos, cfg.kernel_size, approx=cfg.knn_approx,
                          recall=cfg.knn_recall)
-        feats = [EdgeConv(cfg.n_filters, cfg.conv_type, dtype=cdt)(
+        conv_kw = dict(act_type=cfg.act_type, norm_type=cfg.norm_type,
+                       use_bias=cfg.use_bias, dtype=cdt)
+        feats = [EdgeConv(cfg.n_filters, cfg.conv_type, **conv_kw)(
             data, idx0)]
 
         idx_cache = None
@@ -313,20 +399,22 @@ class DenseDeepGCN(nn.Module):
                 )
             if cfg.block_type == "res":
                 feats.append(
-                    EdgeConv(cfg.n_filters, cfg.conv_type, dtype=cdt)(
-                        h, idx) + h
+                    EdgeConv(cfg.n_filters, cfg.conv_type,
+                             **conv_kw)(h, idx) + h
                 )
             else:
                 feats.append(
                     jnp.concatenate(
                         [h, EdgeConv(cfg.n_filters, cfg.conv_type,
-                                     dtype=cdt)(h, idx)],
+                                     **conv_kw)(h, idx)],
                         axis=-1,
                     )
                 )
 
         fused = jnp.concatenate(feats, axis=-1).astype(jnp.float32)
-        fused = nn.relu(nn.Dense(1024)(fused))           # fusion_block
+        # fusion_block: BasicConv([.., 1024], act, norm=None, bias)
+        fused = _Act(cfg.act_type)(
+            nn.Dense(1024, use_bias=cfg.use_bias)(fused))
         per_vertex = jnp.max(fused, axis=-1)             # channel max -> [V]
         h = SNDense(2048)(per_vertex[None, :], train=train)
         out = SNDense(cfg.out_channels)(h, train=train)

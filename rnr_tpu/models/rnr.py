@@ -80,6 +80,9 @@ class RNRModel(nn.Module):
                     n_blocks=c.gcn.n_blocks,
                     conv_type=c.gcn.conv_type,  # type: ignore[arg-type]
                     block_type=c.gcn.block_type,  # type: ignore[arg-type]
+                    act_type=c.gcn.act_type,  # type: ignore[arg-type]
+                    norm_type=c.gcn.norm_type,
+                    use_bias=c.gcn.use_bias,
                     stochastic=c.gcn.stochastic,
                     epsilon=c.gcn.epsilon,
                     out_channels=c.gcn.out_channels,

@@ -188,3 +188,65 @@ def test_tbn_map_vs_reference(rng):
                     jnp.asarray(faces_v), jnp.asarray(faces_uv))
     )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("conv_type", ["edge", "mr"])
+@pytest.mark.parametrize("act_type,norm_type,bias", [
+    ("relu", "batch", True),       # reference CLI defaults (train_rnr.py:88-90)
+    ("leakyrelu", "instance", True),
+    ("prelu", None, False),
+])
+def test_graph_conv_vs_reference(rng, conv_type, act_type, norm_type, bias):
+    """Weight-copied EdgeConv4D/MRConv4D parity incl. act/norm/bias knobs.
+
+    The torch modules run in train() mode: the reference never .eval()s
+    the GCN (train_rnr.py:405; at inference v_feature is restored from
+    the checkpoint), so BatchNorm parity is against current-batch stats.
+    """
+    from gcn_lib.dense.torch_vertex import EdgeConv4D, MRConv4D
+
+    from rnr_tpu.models.gcn import EdgeConv
+
+    V, k, C, out = 40, 6, 10, 12
+    x = rng.standard_normal((V, C)).astype(np.float32)
+    idx = rng.integers(0, V, (V, k)).astype(np.int32)
+    idx[:, 0] = np.arange(V)  # self like a kNN graph
+
+    cls = EdgeConv4D if conv_type == "edge" else MRConv4D
+    ref = cls(C, out, act_type=act_type, norm_type=norm_type, bias=bias)
+    ref.train()
+
+    # reference layout: x [1, C, V, 1]; edge_index [2, 1, V, k] with
+    # row 0 = neighbors (x_j), row 1 = centers (x_i)
+    tx = torch.from_numpy(x.T.copy())[None, :, :, None]
+    nbr = torch.from_numpy(idx.astype(np.int64))[None]
+    ctr = torch.arange(V, dtype=torch.int64)[None, :, None].expand(1, V, k)
+    edge_index = torch.stack([nbr, ctr], dim=0)
+    with torch.no_grad():
+        want = ref(tx, edge_index).numpy()[0, :, :, 0].T  # -> [V, out]
+
+    ours = EdgeConv(out, conv_type, act_type=act_type,
+                    norm_type=norm_type, use_bias=bias)
+    vars_ = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                      jnp.asarray(idx))
+    conv2d = ref.nn[0]
+    params = dict(vars_["params"])
+    params["Dense_0"] = dict(params["Dense_0"])
+    params["Dense_0"]["kernel"] = jnp.asarray(
+        conv2d.weight.detach().numpy()[:, :, 0, 0].T
+    )
+    if bias:
+        params["Dense_0"]["bias"] = jnp.asarray(
+            conv2d.bias.detach().numpy()
+        )
+    if act_type == "prelu":
+        params["prelu_slope"] = jnp.asarray(
+            float(ref.nn[1].weight.detach().numpy()[0])
+        )
+    if norm_type == "batch":
+        bn = ref.nn[2]
+        params["norm_scale"] = jnp.asarray(bn.weight.detach().numpy())
+        params["norm_bias"] = jnp.asarray(bn.bias.detach().numpy())
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
+                                jnp.asarray(idx)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
