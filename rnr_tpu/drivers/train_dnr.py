@@ -36,6 +36,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--texture_size", type=int, default=512)
     p.add_argument("--texture_num_ch", type=int, default=30)
     p.add_argument("--mipmap_level", type=int, default=4)
+    # optional RGB image copied into the level-0 texture's first
+    # channels at init (reference train_dnr.py:19 --tex_fp)
+    p.add_argument("--tex_fp", type=str, default=None)
+    # epoch counter offset when resuming (reference train_dnr.py:53)
+    p.add_argument("--start_epoch", type=int, default=0)
     p.add_argument("--apply_sh", default=True,
                    type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--nf0", type=int, default=64)
@@ -179,9 +184,22 @@ def main(argv=None) -> None:
     save_config(cfg, os.path.join(log_dir, "params.json"))
 
     # ---------------- state ----------------
+    texture_init = None
+    if opt.tex_fp:
+        import cv2
+
+        tex_fp = resolve(opt.tex_fp, opt.data_root) if opt.data_root \
+            else opt.tex_fp
+        tex = cv2.cvtColor(cv2.imread(tex_fp), cv2.COLOR_BGR2RGB)
+        texture_init = cv2.resize(
+            tex, (opt.texture_size, opt.texture_size),
+            interpolation=cv2.INTER_AREA,
+        ).astype(np.float32) / 255.0
+
     key = jax.random.PRNGKey(opt.seed)
     sample_batch = make_batch(train_views[: opt.batch_size])
-    mods, state, tx = create_dnr_state(cfg, key, sample_batch, cfg.train.lr)
+    mods, state, tx = create_dnr_state(cfg, key, sample_batch, cfg.train.lr,
+                                       texture_init=texture_init)
     if opt.checkpoint:
         state = load_checkpoint(opt.checkpoint, state)
         print("restored checkpoint", opt.checkpoint)
@@ -204,7 +222,7 @@ def main(argv=None) -> None:
     it = 0
     bs = opt.batch_size
     history = []
-    for epoch in range(opt.max_epoch):
+    for epoch in range(opt.start_epoch, opt.max_epoch):
         order = order_rng.permutation(len(train_views))
         for start in range(0, len(order) - bs + 1, bs):
             if opt.max_iter is not None and it >= opt.max_iter:

@@ -238,13 +238,18 @@ class DNRModules(NamedTuple):
     render_net: RenderingNet
 
 
-def build_dnr_modules(cfg: DNRConfig) -> DNRModules:
+def build_dnr_modules(cfg: DNRConfig, texture_init=None) -> DNRModules:
+    """texture_init: optional [H, W, 3] array copied into the level-0
+    texture's leading channels at param init (reference train_dnr.py
+    --tex_fp / network.py TextureMapper texture_init, :51-54).  Only
+    affects initialization — step builders don't need it."""
     return DNRModules(
         texture_mapper=TextureMapper(
             texture_size=cfg.texture.texture_size,
             texture_num_ch=cfg.texture.texture_num_ch,
             mipmap_level=cfg.texture.mipmap_level,
             apply_sh=cfg.texture.apply_sh,
+            texture_init=texture_init,
         ),
         render_net=RenderingNet(
             nf0=cfg.render_net.nf0,
@@ -279,9 +284,10 @@ def dnr_forward(mods: DNRModules, params, batch, rngs=None, train=True,
 
 
 def create_dnr_state(
-    cfg: DNRConfig, rng: jax.Array, sample_batch, lr: float
+    cfg: DNRConfig, rng: jax.Array, sample_batch, lr: float,
+    texture_init=None,
 ):
-    mods = build_dnr_modules(cfg)
+    mods = build_dnr_modules(cfg, texture_init=texture_init)
     p1, p2, d = jax.random.split(rng, 3)
     tex_vars = mods.texture_mapper.init(
         p1, sample_batch["uv_map"], sample_batch.get("sh_basis_map"),

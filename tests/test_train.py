@@ -205,3 +205,35 @@ def test_rnr_bf16_rays_match_f32():
     }
     new_state, metrics = step16(state, batch, statics, KEY)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dnr_texture_init_from_image():
+    """--tex_fp analog: create_dnr_state(texture_init=...) copies the
+    image into the level-0 texture's first two channel blocks
+    (reference network.py:51-54, train_dnr.py --tex_fp)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from rnr_tpu.config import DNRConfig, TextureConfig, RenderNetConfig
+    from rnr_tpu.train.steps import create_dnr_state
+
+    cfg = DNRConfig(
+        texture=TextureConfig(texture_size=16, texture_num_ch=8,
+                              mipmap_level=2, apply_sh=False),
+        render_net=RenderNetConfig(nf0=4, num_down_unet=2),
+    )
+    rng = np.random.default_rng(0)
+    ti = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    batch = {
+        "uv_map": jnp.asarray(
+            rng.uniform(0, 1, (1, 8, 8, 2)).astype(np.float32)
+        ),
+    }
+    _, state, _ = create_dnr_state(
+        cfg, jax.random.PRNGKey(0), batch, 1e-3, texture_init=ti
+    )
+    tex0 = np.asarray(state.params["texture_mapper"]["texture_0"])
+    np.testing.assert_allclose(tex0[..., :3], ti, atol=1e-6)
+    np.testing.assert_allclose(tex0[..., 3:6], ti, atol=1e-6)
+    assert np.all(tex0[..., 6:] == 1.0)  # untouched channels keep init
