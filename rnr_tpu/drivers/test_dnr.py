@@ -30,6 +30,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sampling_pattern", type=str, default="all")
     p.add_argument("--out_dir", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
+    # reference-script compatibility: --gpu_id is accepted and ignored
+    # (CUDA device selection; TPU placement uses --platform/mesh
+    # flags).  --calib_format has one valid value (dataio.py:45-52).
+    p.add_argument("--gpu_id", type=str, default=None)
+    p.add_argument("--calib_format", type=str, default="convert",
+                   choices=["convert"])
     return p
 
 

@@ -46,6 +46,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="render under this learned lighting (default: all)")
     p.add_argument("--lp_dir", type=str, default=None,
                    help="directory of novel light probes to relight with")
+    # SH band limit for projecting novel probes at inference; None = the
+    # checkpoint's training lmax (reference test_rnr.py:28 --sh_lmax,
+    # default 10)
+    p.add_argument("--sh_lmax", type=int, default=None)
+    # reference-compat alias (test_rnr.py:26 --lighting_type): "SH"
+    # projects --lp_dir probes through the direct-SH path (== --lp_sh
+    # true), "train" renders under the trained lighting (== no lp_dir)
+    p.add_argument("--lighting_type", type=str, default=None,
+                   choices=["SH", "train"])
     p.add_argument("--lp_sh", default=True,
                    type=lambda x: str(x).lower() in ["true", "1"],
                    help="project novel probes onto SH and relight through "
@@ -62,10 +71,36 @@ def build_argparser() -> argparse.ArgumentParser:
                    type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--out_dir", type=str, default=None)
     p.add_argument("--platform", type=str, default=None)
+    # reference-script compatibility: --gpu_id selects CUDA devices in
+    # the reference; accepted and ignored here (TPU/platform flags
+    # control placement).  --calib_format only has one valid value in
+    # the reference (dataio.py:45-52).
+    p.add_argument("--gpu_id", type=str, default=None)
+    p.add_argument("--calib_format", type=str, default="convert",
+                   choices=["convert"])
     p.add_argument("--mesh_devices", type=int, default=None,
                    help="tile-shard each frame over the first N devices")
     p.add_argument("--mesh_dp", type=int, default=1)
     return p
+
+
+def _reconcile_sh_bands(sh_coeffs, nb_train: int):
+    """Match a probe's SH projection to the checkpoint's basis count.
+
+    The render path evaluates the training-lmax basis, so a lower
+    --sh_lmax projection relights band-limited (the missing high bands
+    are zero-padded) and a higher one truncates to the trained bands.
+    sh_coeffs: [L, B, C] -> [L, nb_train, C].
+    """
+    import jax.numpy as jnp
+
+    if sh_coeffs.shape[1] < nb_train:
+        pad = jnp.zeros(
+            (sh_coeffs.shape[0], nb_train - sh_coeffs.shape[1],
+             sh_coeffs.shape[2]), sh_coeffs.dtype,
+        )
+        return jnp.concatenate([sh_coeffs, pad], axis=1)
+    return sh_coeffs[:, :nb_train]
 
 
 def main(argv=None) -> None:
@@ -149,6 +184,14 @@ def main(argv=None) -> None:
             method=lambda m, p_: m.compute_v_feature(p_),
         )
 
+    # reference-compat --lighting_type mapping
+    if opt.lighting_type == "SH":
+        opt.lp_sh = True
+    elif opt.lighting_type == "train":
+        opt.lp_dir = None
+        if opt.lighting_idx is None:
+            opt.lighting_idx = 0
+
     # lightings to render under: (name, lp probe | None, sh coeff | None)
     lps = []
     if opt.lp_dir is not None and os.path.isdir(opt.lp_dir):
@@ -164,7 +207,12 @@ def main(argv=None) -> None:
             lp_vars = lp_model.init(jax.random.PRNGKey(0))
             sh_coeffs = lp_model.apply(
                 lp_vars,
-                method=lambda m: m.fit_sh(cfg.lighting.sh_lmax),
+                method=lambda m: m.fit_sh(
+                    opt.sh_lmax or cfg.lighting.sh_lmax
+                ),
+            )
+            sh_coeffs = _reconcile_sh_bands(
+                sh_coeffs, (cfg.lighting.sh_lmax + 1) ** 2
             )
         for i in range(len(lp_ds)):
             lps.append((

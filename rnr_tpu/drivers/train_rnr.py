@@ -151,6 +151,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default=None)
+    # reference-script compatibility: --gpu_id selects CUDA devices in
+    # the reference; accepted and ignored here (TPU/platform flags
+    # control placement).  --calib_format only has one valid value in
+    # the reference (dataio.py:45-52).
+    p.add_argument("--gpu_id", type=str, default=None)
+    p.add_argument("--calib_format", type=str, default="convert",
+                   choices=["convert"])
     p.add_argument("--synthetic", action="store_true")
     # multi-chip
     p.add_argument("--mesh_devices", type=int, default=None,

@@ -119,3 +119,22 @@ def test_unet3d_and_sampling_nets():
     p3 = up.init(key, d)
     u = up.apply(p3, d)
     assert u.shape == (1, 16, 16, 4)
+
+
+def test_reconcile_sh_bands():
+    """--sh_lmax override vs checkpoint basis: pad low-order projections
+    with zeros, truncate higher ones (drivers/test_rnr.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rnr_tpu.drivers.test_rnr import _reconcile_sh_bands
+
+    c = jnp.arange(2 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 3)
+    up = np.asarray(_reconcile_sh_bands(c, 9))
+    assert up.shape == (2, 9, 3)
+    np.testing.assert_array_equal(up[:, :4], np.asarray(c))
+    assert np.all(up[:, 4:] == 0)
+    down = np.asarray(_reconcile_sh_bands(c, 1))
+    np.testing.assert_array_equal(down, np.asarray(c[:, :1]))
+    same = np.asarray(_reconcile_sh_bands(c, 4))
+    np.testing.assert_array_equal(same, np.asarray(c))

@@ -304,6 +304,11 @@ def test_test_rnr_novel_light_sh_vs_probe(precomputed, trained_rnr):
                 "--sphere_samples_fp", "nonexistent.mat",
                 "--out_dir", out_dir,
                 "--per_stage_timing", "1" if mode == "true" else "0",
+                # reference-compat knobs: --lighting_type SH is the alias
+                # for the lp_sh path; --sh_lmax at the training lmax and
+                # --gpu_id are accepted like the reference CLI
+                *(["--lighting_type", "SH", "--sh_lmax", "2",
+                   "--gpu_id", "0,1"] if mode == "true" else []),
             ]
         )
         img = cv2.imread(os.path.join(out_dir, "novel00", "000002.png"))
