@@ -46,7 +46,7 @@ def resolve_tuned_config() -> dict:
                 tuned = json.load(f)
         except Exception:
             tuned = {}
-    return {
+    resolved = {
         "conv_backend": os.environ.get(
             "BENCH_CONV_BACKEND", tuned.get("conv_backend", "xla")),
         "rays_dtype": os.environ.get(
@@ -54,6 +54,19 @@ def resolve_tuned_config() -> dict:
         "gcn_dtype": os.environ.get(
             "BENCH_GCN_DTYPE", tuned.get("gcn_dtype", "float32")),
     }
+    # whitelist: a corrupt/typo'd best_config.json must not silently
+    # mis-configure the measurement
+    valid = {
+        "conv_backend": {"xla", "pallas"},
+        "rays_dtype": {"float32", "bfloat16"},
+        "gcn_dtype": {"float32", "bfloat16"},
+    }
+    defaults = {"conv_backend": "xla", "rays_dtype": "float32",
+                "gcn_dtype": "float32"}
+    for k, allowed in valid.items():
+        if resolved[k] not in allowed:
+            resolved[k] = defaults[k]
+    return resolved
 
 
 def main() -> None:
@@ -291,6 +304,13 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 4) if baseline_fps else None,
         "extras": {
+            # the measured configuration — BENCH env or tools/out/
+            # best_config.json tuned defaults; two runs are comparable
+            # only if these match
+            "conv_backend": conv_backend,
+            "rays_dtype": rays_dtype,
+            "gcn_dtype": gcn_dtype,
+            "remat": remat_env,
             "vs_baseline_anchor": (
                 "round-1 BENCH (2.5951 frames/s); reference publishes "
                 "no numbers" if baseline_fps else None

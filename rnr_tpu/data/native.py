@@ -18,12 +18,15 @@ _PKG_DIR = os.path.join(os.path.dirname(__file__), "..")
 
 
 def _find_lib() -> str | None:
-    """Search order: env override, installed-package copy (setup.py
-    builds rnr_tpu/librnr_native.so), repo-checkout native/ dir."""
+    """Search order: env override, repo-checkout native/ build (wins in a
+    source tree so an edited rnr_native.cpp is never shadowed by a stale
+    copy that `pip install .` dropped into the package dir), then the
+    installed-package copy (the only one present in a site-packages
+    install)."""
     candidates = [
         os.environ.get("RNR_NATIVE_LIB"),
-        os.path.abspath(os.path.join(_PKG_DIR, "librnr_native.so")),
         os.path.abspath(os.path.join(_NATIVE_DIR, "librnr_native.so")),
+        os.path.abspath(os.path.join(_PKG_DIR, "librnr_native.so")),
     ]
     for c in candidates:
         if c and os.path.isfile(c):

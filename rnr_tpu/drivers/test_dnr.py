@@ -25,6 +25,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--checkpoint_name", type=str, default="model_final.ckpt")
     p.add_argument("--calib_fp", type=str, default="_/calib.mat")
+    # reference-compat (test_dnr.py): calib directory override and
+    # the (meaningless here) recompute switch
+    p.add_argument("--calib_dir", type=str, default=None)
+    p.add_argument("--force_recompute", default=False,
+                   type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--obj_fp", type=str, default="_/mesh.obj")
     p.add_argument("--img_size", type=int, default=512)
     p.add_argument("--sampling_pattern", type=str, default="all")
@@ -53,6 +58,9 @@ def main(argv=None) -> None:
     from rnr_tpu.train import create_dnr_state, load_checkpoint
     from rnr_tpu.train.steps import make_dnr_eval_step
 
+    if opt.calib_dir:
+        opt.calib_fp = os.path.join(
+            resolve(opt.calib_dir, opt.data_root), "calib.mat")
     opt.calib_fp = resolve(opt.calib_fp, opt.data_root)
     opt.obj_fp = resolve(opt.obj_fp, opt.data_root)
 

@@ -37,6 +37,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="training log dir holding params.json + *.ckpt")
     p.add_argument("--checkpoint_name", type=str, default="model_final.ckpt")
     p.add_argument("--calib_fp", type=str, default="_/calib.mat")
+    # reference-compat (test_rnr.py:35): a directory containing
+    # calib.mat; overrides --calib_fp when given
+    p.add_argument("--calib_dir", type=str, default=None)
     p.add_argument("--obj_high_fp", type=str, default="_/mesh.obj")
     p.add_argument("--obj_gcn_fp", type=str, default="_/mesh_7500v.obj")
     p.add_argument("--img_size", type=int, default=512)
@@ -67,6 +70,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "granularity) instead of the fused step")
     p.add_argument("--sphere_samples_fp", type=str,
                    default="./sphere_samples_4096.mat")
+    # --save_img_bg is the reference's name for the same switch
+    # (test_rnr.py:46); --force_recompute is accepted and ignored
+    # (G-buffers are computed on the fly every frame, nothing cached)
+    p.add_argument("--save_img_bg", default=None,
+                   type=lambda x: str(x).lower() in ["true", "1"])
+    p.add_argument("--force_recompute", default=False,
+                   type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--save_lp_background", default=False,
                    type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--out_dir", type=str, default=None)
@@ -122,7 +132,12 @@ def main(argv=None) -> None:
     from rnr_tpu.train import create_rnr_state, load_checkpoint
     from rnr_tpu.train.steps import make_rnr_eval_step
 
+    if opt.calib_dir:
+        opt.calib_fp = os.path.join(
+            resolve(opt.calib_dir, opt.data_root), "calib.mat")
     opt.calib_fp = resolve(opt.calib_fp, opt.data_root)
+    if opt.save_img_bg is not None:
+        opt.save_lp_background = opt.save_img_bg
     opt.obj_high_fp = resolve(opt.obj_high_fp, opt.data_root)
     opt.obj_gcn_fp = resolve(opt.obj_gcn_fp, opt.data_root)
     opt.lp_dir = resolve(opt.lp_dir, opt.data_root)
@@ -190,7 +205,9 @@ def main(argv=None) -> None:
     elif opt.lighting_type == "train":
         opt.lp_dir = None
         if opt.lighting_idx is None:
-            opt.lighting_idx = 0
+            # the checkpoint's trained lighting index, like the
+            # reference's int(params['lighting_idx']) (test_rnr.py:239)
+            opt.lighting_idx = cfg.lighting.lighting_idx or 0
 
     # lightings to render under: (name, lp probe | None, sh coeff | None)
     lps = []
@@ -208,7 +225,8 @@ def main(argv=None) -> None:
             sh_coeffs = lp_model.apply(
                 lp_vars,
                 method=lambda m: m.fit_sh(
-                    opt.sh_lmax or cfg.lighting.sh_lmax
+                    cfg.lighting.sh_lmax if opt.sh_lmax is None
+                    else opt.sh_lmax
                 ),
             )
             sh_coeffs = _reconcile_sh_bands(

@@ -226,7 +226,10 @@ def main(argv=None) -> None:
         writer = None
 
     order_rng = np.random.default_rng(opt.seed)
-    it = 0
+    # resuming at --start_epoch also advances the global iteration
+    # counter (reference train_dnr.py:232: iter = start_epoch * len(ds))
+    # so checkpoints/logs continue instead of overwriting the first run's
+    it = opt.start_epoch * len(train_views)
     bs = opt.batch_size
     history = []
     for epoch in range(opt.start_epoch, opt.max_epoch):

@@ -101,6 +101,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="U-Net conv padding: reflect = reference parity; "
                         "same = faster zero-padded convs")
     # gcn (train_rnr.py:84-95)
+    p.add_argument("--in_channels", default=6, type=int,
+                   help="GCN input channels (pos+feature; train_rnr.py:84)")
     p.add_argument("--kernel_size", default=16, type=int)
     p.add_argument("--n_filters", default=64, type=int)
     p.add_argument("--n_blocks", default=20, type=int)
@@ -472,6 +474,7 @@ def main(argv=None) -> None:
         gcn=GCNTrainConfig(
             kernel_size=opt.kernel_size, n_filters=opt.n_filters,
             n_blocks=opt.n_blocks, epsilon=opt.epsilon,
+            in_channels=opt.in_channels,
             block_type=opt.block_type, conv_type=opt.conv_type,
             act_type=opt.act_type,
             norm_type=None if opt.norm_type == "none" else opt.norm_type,

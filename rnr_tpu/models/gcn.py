@@ -190,6 +190,25 @@ def dilate_edges(
     return jnp.where(use_random, random_pick, strided)
 
 
+class _Act(nn.Module):
+    """act_layer (torch_nn.py:9-28): relu / leakyrelu(0.2) / prelu with a
+    single learned slope (init 0.2, torch PReLU num_parameters=1)."""
+
+    act_type: str = "relu"
+
+    @nn.compact
+    def __call__(self, h: jax.Array) -> jax.Array:
+        if self.act_type == "relu":
+            return nn.relu(h)
+        if self.act_type == "leakyrelu":
+            return nn.leaky_relu(h, negative_slope=0.2)
+        if self.act_type == "prelu":
+            a = self.param("prelu_slope", nn.initializers.constant(0.2),
+                           (), jnp.float32)
+            return jnp.where(h >= 0, h, h * a.astype(h.dtype))
+        raise ValueError(f"act_type {self.act_type!r}")
+
+
 class EdgeConv(nn.Module):
     """max_j MLP([x_i || x_j - x_i])  (gcn_lib/dense/torch_vertex.py:23-38).
 
@@ -205,19 +224,6 @@ class EdgeConv(nn.Module):
     norm_type: str | None = None
     use_bias: bool = True
     dtype: jnp.dtype | None = None
-
-    def _act(self, h: jax.Array) -> jax.Array:
-        if self.act_type == "relu":
-            return nn.relu(h)
-        if self.act_type == "leakyrelu":
-            return nn.leaky_relu(h, negative_slope=0.2)
-        if self.act_type == "prelu":
-            # torch nn.PReLU(num_parameters=1, init=0.2): one learned
-            # slope shared across channels
-            a = self.param("prelu_slope", nn.initializers.constant(0.2),
-                           (), jnp.float32)
-            return jnp.where(h >= 0, h, h * a.astype(h.dtype))
-        raise ValueError(f"act_type {self.act_type!r}")
 
     def _norm(self, h: jax.Array) -> jax.Array:
         """Per-channel current-batch-statistics norm over all leading axes.
@@ -253,34 +259,16 @@ class EdgeConv(nn.Module):
             feat = jnp.concatenate(
                 [jnp.broadcast_to(x_i, x_j.shape), x_j - x_i], axis=-1
             )
-            h = self._norm(self._act(
+            h = self._norm(_Act(self.act_type)(
                 nn.Dense(self.out_ch, use_bias=self.use_bias,
                          dtype=self.dtype)(feat)))
             return jnp.max(h, axis=1)
         # max-relative conv (MRConv4D): max over neighbors first
         rel = jnp.max(x_j - x_i, axis=1)
         feat = jnp.concatenate([x, rel], axis=-1)
-        return self._norm(self._act(
+        return self._norm(_Act(self.act_type)(
             nn.Dense(self.out_ch, use_bias=self.use_bias,
                      dtype=self.dtype)(feat)))
-
-
-class _Act(nn.Module):
-    """Standalone act_layer (torch_nn.py:9-28) for the fusion block."""
-
-    act_type: str = "relu"
-
-    @nn.compact
-    def __call__(self, h: jax.Array) -> jax.Array:
-        if self.act_type == "relu":
-            return nn.relu(h)
-        if self.act_type == "leakyrelu":
-            return nn.leaky_relu(h, negative_slope=0.2)
-        if self.act_type == "prelu":
-            a = self.param("prelu_slope", nn.initializers.constant(0.2),
-                           (), jnp.float32)
-            return jnp.where(h >= 0, h, h * a.astype(h.dtype))
-        raise ValueError(f"act_type {self.act_type!r}")
 
 
 class SNDense(nn.Module):
@@ -339,6 +327,13 @@ class DenseDeepGCN(nn.Module):
         if x is None:
             x = pos
         data = jnp.concatenate([pos, x], axis=-1)  # [V, in_channels]
+        if data.shape[-1] != cfg.in_channels:
+            raise ValueError(
+                f"GCN input is pos(3) + features({x.shape[-1]}) = "
+                f"{data.shape[-1]} channels but in_channels="
+                f"{cfg.in_channels}; pass matching --in_channels "
+                f"(reference train_rnr.py:84)"
+            )
         cdt = jnp.dtype(cfg.compute_dtype)
 
         # head: static graph from positions

@@ -240,9 +240,9 @@ def test_graph_conv_vs_reference(rng, conv_type, act_type, norm_type, bias):
             conv2d.bias.detach().numpy()
         )
     if act_type == "prelu":
-        params["prelu_slope"] = jnp.asarray(
+        params["_Act_0"] = {"prelu_slope": jnp.asarray(
             float(ref.nn[1].weight.detach().numpy()[0])
-        )
+        )}
     if norm_type == "batch":
         bn = ref.nn[2]
         params["norm_scale"] = jnp.asarray(bn.weight.detach().numpy())

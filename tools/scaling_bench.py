@@ -71,18 +71,20 @@ def main() -> None:
         state, tx = create_rnr_state(
             model, jax.random.PRNGKey(0), batch, cfg.train.lr
         )
-        rng = np.random.default_rng(1)
-        statics = {
-            "l_samples_init": jnp.asarray(
-                rng.uniform(0, 1, (128, 3)).astype(np.float32)
-            ),
-            "l_samples_mask": jnp.asarray(
-                (rng.uniform(size=128) > 0.3).astype(np.float32)
-            ),
-            "tex_flatten_init": rnr_texture_flatten_init(
-                model, state.params
-            ),
-        }
+        if not opt.eval:
+            # train-only inputs (loss targets + texture-flatten snapshot)
+            rng = np.random.default_rng(1)
+            statics = {
+                "l_samples_init": jnp.asarray(
+                    rng.uniform(0, 1, (128, 3)).astype(np.float32)
+                ),
+                "l_samples_mask": jnp.asarray(
+                    (rng.uniform(size=128) > 0.3).astype(np.float32)
+                ),
+                "tex_flatten_init": rnr_texture_flatten_init(
+                    model, state.params
+                ),
+            }
         if opt.eval:
             # serving path: view-independent GCN feature computed once
             # per sequence and reused every frame (drivers/test_rnr.py
