@@ -237,3 +237,44 @@ def test_dnr_texture_init_from_image():
     np.testing.assert_allclose(tex0[..., :3], ti, atol=1e-6)
     np.testing.assert_allclose(tex0[..., 3:6], ti, atol=1e-6)
     assert np.all(tex0[..., 6:] == 1.0)  # untouched channels keep init
+
+
+def test_rnr_train_step_with_gcn_structure_knobs(rng):
+    """Full train step with the reference-default GCN structure (batch
+    norm) plus prelu + mr conv: params include the new norm/act leaves
+    and the step produces a finite decreasing loss."""
+    import dataclasses
+
+    cfg = _tiny_rnr_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        gcn=GCNTrainConfig(n_filters=8, kernel_size=4, n_blocks=2,
+                           out_channels=16, conv_type="mr",
+                           act_type="prelu", norm_type="batch"),
+    )
+    l_dir = _fib_sphere(64)
+    model = RNRModel(cfg=cfg, l_dir=l_dir)
+    batch = _rnr_batch(rng)
+    state, tx = create_rnr_state(model, KEY, batch, cfg.train.lr)
+    flat = jax.tree_util.tree_leaves_with_path(state.params["gcn"])
+    names = {"/".join(str(p) for p in path) for path, _ in flat}
+    assert any("norm_scale" in n for n in names), names
+    assert any("prelu_slope" in n for n in names), names
+
+    statics = {
+        "l_samples_init": jnp.asarray(
+            rng.uniform(0, 1, (64, 3)).astype(np.float32)
+        ),
+        "l_samples_mask": jnp.asarray(
+            (rng.uniform(size=64) > 0.3).astype(np.float32)
+        ),
+        "tex_flatten_init": rnr_texture_flatten_init(model, state.params),
+    }
+    step = make_rnr_train_step(model, tx)
+    k = KEY
+    losses = []
+    for _ in range(4):
+        k, sub = jax.random.split(k)
+        state, metrics = step(state, batch, statics, sub)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
