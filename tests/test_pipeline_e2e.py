@@ -243,7 +243,9 @@ def test_test_rnr_inference(precomputed, trained_rnr):
             "--obj_high_fp", "_/mesh.obj", "--obj_gcn_fp", "_/mesh.obj",
             "--img_size", "64",
             "--sampling_pattern", "only_2",
-            "--lighting_idx", "0",
+            # reference-CLI alias for rendering under the trained
+            # lighting: resolves to the checkpoint's lighting_idx (0)
+            "--lighting_type", "train",
             "--sphere_samples_fp", "nonexistent.mat",
             "--out_dir", out_dir,
         ]
