@@ -57,6 +57,12 @@ ABLATIONS = {
                 "--strat_min_dilation", "3",
                 "--rays_dtype", "bfloat16",
                 "--unet_conv_backend", "pallas"],
+    # reference-CLI-default GCN norm (train_rnr.py:89 norm_type='batch');
+    # rnr_tpu ships norm none — this cell measures the delta (PARITY.md
+    # "Known deltas")
+    "gcn_norm_batch": ["--knn_approx", "true", "--knn_recall", "0.9",
+                       "--strat_min_dilation", "3",
+                       "--norm_type", "batch"],
 }
 
 
