@@ -136,8 +136,17 @@ def main():
 
     if int(os.environ.get("R3_STEP", 1)):
         rows = {}
-        for conv_backend in ("xla", "pallas"):
-            for rays_dtype in ("float32", "bfloat16"):
+        # R3_STEP_CELLS="xla:float32,pallas:bfloat16" restricts the grid
+        # (cold 512^2 full-step compiles are ~5 min each through the
+        # tunnel; a deadline-bound queue can't always afford all four).
+        cells_env = os.environ.get("R3_STEP_CELLS")
+        if cells_env:
+            step_cells = [tuple(c.split(":")) for c in
+                          cells_env.split(",") if c]
+        else:
+            step_cells = [(cb, rd) for cb in ("xla", "pallas")
+                          for rd in ("float32", "bfloat16")]
+        for conv_backend, rays_dtype in step_cells:
                 tag = f"{conv_backend}_{rays_dtype}"
                 try:
                     dt, loss0, _ = time_step(
@@ -159,8 +168,21 @@ def main():
         best_conv = os.environ.get("R3_BEST_CONV", "xla")
         best_rays = os.environ.get("R3_BEST_RAYS", "bfloat16")
         rows = {}
-        for batch_n, remat in ((2, False), (2, "wide"), (4, False),
-                               (4, "wide"), (4, True)):
+        # R3_BATCH_CELLS="2:none,4:wide" restricts the grid (same cold
+        # compile-cost rationale as R3_STEP_CELLS).
+        bc_env = os.environ.get("R3_BATCH_CELLS")
+        if bc_env:
+            def _remat(s):
+                return {"none": False, "false": False,
+                        "all": True, "true": True}.get(s.lower(), s)
+            batch_cells = [
+                (int(c.split(":")[0]), _remat(c.split(":")[1]))
+                for c in bc_env.split(",") if c
+            ]
+        else:
+            batch_cells = [(2, False), (2, "wide"), (4, False),
+                           (4, "wide"), (4, True)]
+        for batch_n, remat in batch_cells:
             tag = f"b{batch_n}_remat_{remat}"
             try:
                 dt, loss0, _ = time_step(
@@ -212,8 +234,18 @@ def main():
                 exist_ok=True)
     path = os.path.join(os.path.dirname(__file__), "out",
                         "tpu_bench_r3.json")
+    # merge so the queue can run sections in separate invocations
+    # without clobbering earlier results
+    merged = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(results)
     with open(path, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     print("wrote", path, flush=True)
 
 
