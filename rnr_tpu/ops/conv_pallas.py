@@ -10,10 +10,16 @@ MXU matmul schedule:
   * rows are tiled; each grid cell DMAs a [TH+2, W+2, C] halo tile from
     HBM into VMEM (BlockSpec windows cannot overlap, so the halo copy is
     manual),
-  * for each kernel row dy, the three column taps are concatenated into
-    one [TH*W, 3C] operand so a single dot contracts K = 3C at once
-    (K >= 192 keeps the 128-lane MXU contraction busy even at C = 64),
-  * three such dots accumulate into an f32 [TH*W, O] register tile,
+  * for each of the 9 taps (dy, dx), one dot contracts the WHOLE
+    contiguous [TH*(W+2), C] slab against w[dy, dx]; the dx column
+    shift is applied to the OUTPUT slice during accumulation.  Mosaic
+    cannot codegen tpu.concatenate of lane-offset vectors (the im2col
+    "concat 3 shifted slabs into [TH*W, 3C]" formulation dies with an
+    INTERNAL layout error whenever C is not a multiple of 128, e.g. the
+    108-channel U-Net input layer), while elementwise adds of shifted
+    slices relayout fine.  The cost is K = C per dot instead of 3C
+    (half MXU K-occupancy at C = 64) plus 2/W wasted columns,
+  * the 9 dots accumulate into an f32 [TH, W, O] register tile,
   * an optional epilogue fuses bias + LeakyReLU before the single
     bf16 store — conv output never round-trips HBM in f32.
 
@@ -43,9 +49,10 @@ def _pick_th(w: int, c: int, o: int, vmem_budget=10 * 1024 * 1024) -> int:
     for th in (64, 32, 16, 8):
         xs = 2 * (th + 2) * (w + 2) * c * 2      # double-buffered bf16 halo
         acc = th * w * o * 4                      # f32 accumulator
+        yfull = th * (w + 2) * o * 4              # per-tap dot result
         out = th * w * o * 2
         wgt = 3 * 3 * c * o * 2
-        if xs + acc + out + wgt <= vmem_budget and th <= w * 8:
+        if xs + acc + yfull + out + wgt <= vmem_budget and th <= w * 8:
             return th
     return 8
 
@@ -85,19 +92,20 @@ def _conv_kernel(th, w, c, o, n_rows, slope, fuse_act, out_dtype):
     def kernel(xp_ref, w_ref, b_ref, out_ref, xs, sem):
         slot = _halo_prefetch(xp_ref, xs, sem, th, th + 2)
 
-        acc = jnp.zeros((th * w, o), jnp.float32)
+        acc = jnp.zeros((th, w, o), jnp.float32)
         for dy in range(3):
-            xd = xs[slot, dy:dy + th]  # [TH, W+2, C]
-            xcat = jnp.concatenate(
-                [xd[:, 0:w], xd[:, 1:w + 1], xd[:, 2:w + 2]], axis=-1
-            ).reshape(th * w, 3 * c)
-            acc = acc + jnp.dot(
-                xcat, w_ref[dy], preferred_element_type=jnp.float32
-            )
-        y = acc + b_ref[0].astype(jnp.float32)[None, :]
+            # contiguous slab: leading-dim slice only, no lane offsets
+            xflat = xs[slot, dy:dy + th].reshape(th * (w + 2), c)
+            for dx in range(3):
+                yfull = jnp.dot(
+                    xflat, w_ref[dy, dx],
+                    preferred_element_type=jnp.float32,
+                ).reshape(th, w + 2, o)
+                acc = acc + yfull[:, dx:dx + w]
+        y = acc + b_ref[0].astype(jnp.float32)[None, None, :]
         if fuse_act:
             y = jnp.where(y > 0, y, slope * y)
-        out_ref[0] = y.reshape(th, w, o).astype(out_dtype)
+        out_ref[0] = y.astype(out_dtype)
 
     return kernel
 
@@ -133,11 +141,9 @@ def _conv3x3_fwd_impl(
 
     # weights at the activation dtype: bf16 activations get bf16
     # multiplicands (f32 accumulation); f32 activations (e.g.
-    # --unet_compute_dtype float32) keep f32 convs on this path too
-    wk = w.astype(x.dtype).reshape(3, 3 * c, o)
-    # [dy] rows must pack (dx, c) in the same order the kernel builds
-    # xcat: concat over dx of [.., C] -> k index = dx*C + c.  w is
-    # [dy, dx, c, o] so reshape(3, 3*c, o) already matches.
+    # --unet_compute_dtype float32) keep f32 convs on this path too.
+    # Kept [dy, dx, C, O]: each [C, O] tap plane is lane-aligned.
+    wk = w.astype(x.dtype)
     bk = b.astype(jnp.float32).reshape(1, o)
 
     kernel = _conv_kernel(
@@ -168,7 +174,14 @@ def _conv3x3_fwd_impl(
 
 
 def _wgrad_kernel(th, w, c, o, grid_rows, n_batch):
-    """dW[dy, 3C, O] accumulated across the sequential grid."""
+    """dW[dy, dx, C, O] accumulated across the sequential grid.
+
+    dW[dy, dx] = sum_p x[p + (dy, dx) - 1] (x) g[p], one dot per tap.
+    The shifted x window feeds the dot directly (Mosaic relayouts matmul
+    operands; only concatenate of lane-offset vectors is unimplemented,
+    see module docstring), and the 4-D [dy, dx, C, O] accumulator keeps
+    every updated plane lane-aligned at offset 0.
+    """
 
     def kernel(xp_ref, g_ref, dw_ref, xs, sem):
         i = pl.program_id(1)
@@ -183,15 +196,14 @@ def _wgrad_kernel(th, w, c, o, grid_rows, n_batch):
 
         g = g_ref[0].reshape(th * w, o)
         for dy in range(3):
-            xd = xs[slot, dy:dy + th]
-            xcat = jnp.concatenate(
-                [xd[:, 0:w], xd[:, 1:w + 1], xd[:, 2:w + 2]], axis=-1
-            ).reshape(th * w, 3 * c)
-            dw_ref[dy] = dw_ref[dy] + jax.lax.dot_general(
-                xcat, g,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            xd = xs[slot, dy:dy + th]          # [TH, W+2, C]
+            for dx in range(3):
+                xsl = xd[:, dx:dx + w].reshape(th * w, c)
+                dw_ref[dy, dx] = dw_ref[dy, dx] + jax.lax.dot_general(
+                    xsl, g,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
     return kernel
 
@@ -224,17 +236,17 @@ def _conv3x3_wgrad_impl(x, g, pad_mode="same", interpret=False):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (3, 3 * c, o), lambda nn, i: (0, 0, 0),
+            (3, 3, c, o), lambda nn, i: (0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((3, 3 * c, o), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, 3, c, o), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, th + 2, width + 2, c), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, g.astype(x.dtype))
-    return dw.reshape(3, 3, c, o)
+    return dw
 
 
 # ---------------------------------------------------------------------------
@@ -368,19 +380,23 @@ def _down4_kernel(th, wo, c, o, out_dtype):
         ce.wait()
         co.wait()
 
-        acc = jnp.zeros((th * wo, o), jnp.float32)
+        acc = jnp.zeros((th, wo, o), jnp.float32)
         for dy in range(4):
             # rows 2i+dy for i in tile: leading-dim stride-2 slice
             er = es[dy:dy + 2 * th:2]   # [TH, WO+1, C]
             orr = os_[dy:dy + 2 * th:2]
-            xcat = jnp.concatenate(
-                [er[:, 0:wo], orr[:, 0:wo], er[:, 1:wo + 1],
-                 orr[:, 1:wo + 1]], axis=-1,
-            ).reshape(th * wo, 4 * c)
-            acc = acc + jnp.dot(
-                xcat, w_ref[dy], preferred_element_type=jnp.float32
-            )
-        out_ref[0] = acc.reshape(th, wo, o).astype(out_dtype)
+            # dx taps (E[j], O[j], E[j+1], O[j+1]): one full-slab dot per
+            # tap, column shift applied to the OUTPUT slice (no
+            # lane-offset concatenate — see module docstring)
+            for dx, (plane, co) in enumerate(
+                ((er, 0), (orr, 0), (er, 1), (orr, 1))
+            ):
+                yfull = jnp.dot(
+                    plane.reshape(th * (wo + 1), c), w_ref[dy, dx],
+                    preferred_element_type=jnp.float32,
+                ).reshape(th, wo + 1, o)
+                acc = acc + yfull[:, co:co + wo]
+        out_ref[0] = acc.astype(out_dtype)
 
     return kernel
 
@@ -416,9 +432,9 @@ def _down4_fwd_impl(x, w, pad_mode="same", out_dtype=jnp.bfloat16,
         e = jnp.pad(e, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
         od = jnp.pad(od, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
 
+    # [dy, dx, C, O]; kernel taps (E[j], O[j], E[j+1], O[j+1]) are
+    # exactly dx = 0..3, each [C, O] plane lane-aligned
     wk = w.astype(x.dtype)
-    # kernel packs taps as [E[j], O[j], E[j+1], O[j+1]] = dx [0, 1, 2, 3]
-    wk = wk.reshape(4, 4 * c, o)  # [dy, (dx, c), o] — dx-major like concat
     kernel = _down4_kernel(th, wo, c, o, jnp.dtype(out_dtype))
     out = pl.pallas_call(
         kernel,
@@ -471,20 +487,18 @@ def _convt4_kernel(th, wi, c, o, out_dtype):
             row_pairs = ((0, 0), (1, 2)) if a == 0 else ((1, 1), (2, 3))
             for b in range(2):
                 col_pairs = ((0, 0), (1, 2)) if b == 0 else ((1, 1), (2, 3))
-                acc = jnp.zeros((th * wi, o), jnp.float32)
+                acc = jnp.zeros((th, wi, o), jnp.float32)
                 for (ro, wr) in row_pairs:
-                    xr = xs[ro:ro + th]   # [TH, WI+2, C]
-                    xcat = jnp.concatenate(
-                        [xr[:, co:co + wi] for (co, _) in col_pairs],
-                        axis=-1,
-                    ).reshape(th * wi, 2 * c)
-                    wsel = jnp.concatenate(
-                        [w_ref[wr, wc] for (_, wc) in col_pairs], axis=0
-                    )  # [2C, O]
-                    acc = acc + jnp.dot(
-                        xcat, wsel, preferred_element_type=jnp.float32
-                    )
-                outs.append(acc.reshape(th, wi, o))
+                    # full-slab dot per (row, col) tap; column shift on
+                    # the OUTPUT slice (no lane-offset concatenate)
+                    xflat = xs[ro:ro + th].reshape(th * (wi + 2), c)
+                    for (co, wc) in col_pairs:
+                        yfull = jnp.dot(
+                            xflat, w_ref[wr, wc],
+                            preferred_element_type=jnp.float32,
+                        ).reshape(th, wi + 2, o)
+                        acc = acc + yfull[:, co:co + wi]
+                outs.append(acc)
         # interleave parities: [TH, 2, WI, 2, O] -> [2TH, 2WI, O]
         y = jnp.stack(
             [jnp.stack([outs[0], outs[1]], axis=2),   # a=0: b=0, b=1

@@ -190,13 +190,34 @@ def _bwd_kernel(lmax, r_total, r_spec, c, th, w, lt_dtype):
     return kernel
 
 
-def _pick_th_sh(h, w, r_total, c):
+def _pick_th_sh(h, w, r_total, c, lmax, ray_bytes, bwd):
+    """Largest row tile whose scoped-VMEM working set fits.
+
+    Counts the REAL per-block footprint: every blocked in/out spec is
+    double-buffered by the Pallas pipeline (x2), ray tensors at their
+    actual itemsize, and — for the backward — the dlt output block plus
+    the two cotangent blocks.  The original "bf16-ish" estimate picked
+    th=16 for f32 rays at W=512, whose backward needs 22.8 MB of scoped
+    VMEM against the 16 MB limit (compile failure on v5e); budgeting to
+    14 MB with exact accounting keeps both passes inside the limit at
+    every (dtype, W) the model ships.
+    """
+    nb_pad = _round8(num_sh_basis(lmax))
     for th in (32, 16, 8, 4, 2, 1):
         if h % th:
             continue
-        rays = 2 * r_total * (3 + c) * th * w * 2   # rd + rl tiles (bf16-ish)
-        bs = 128 * th * w * 4
-        if rays + bs + 6 * th * w * 4 <= 10 * 1024 * 1024:
+        # bytes per (row, W) plane-set of the blocked in/out specs
+        io = r_total * 3 * ray_bytes       # rays_dir block
+        io += r_total * c * ray_bytes      # rays_lt block
+        io += 4                            # alpha block (f32)
+        if bwd:
+            io += 2 * c * 4                # gs, gd cotangents (f32)
+            io += r_total * c * ray_bytes  # dlt output block
+        else:
+            io += 2 * c * 4                # spec, diff outputs (f32)
+        vmem = 2 * io * th * w             # double-buffered pipeline
+        vmem += nb_pad * th * w * 4        # basis scratch (single copy)
+        if vmem <= 14 * 1024 * 1024:
             return th
     return 1
 
@@ -209,7 +230,7 @@ def _sh_shade_impl(rd_t, rl_t, al_t, coeff, lmax, r_spec, interpret):
     """rd_t [N,R,3,H,W], rl_t [N,R,C,H,W], al_t [N,1,H,W], coeff [B,C]."""
     n, r_total, _, h, w = rd_t.shape
     c = rl_t.shape[2]
-    th = _pick_th_sh(h, w, r_total, c)
+    th = _pick_th_sh(h, w, r_total, c, lmax, rd_t.dtype.itemsize, False)
     kernel = _fwd_kernel(lmax, r_total, r_spec, c, th, w, jnp.float32)
     spec, diff = pl.pallas_call(
         kernel,
@@ -251,7 +272,7 @@ def _sh_shade_bwd_impl(rd_t, rl_t, al_t, coeff, gs_t, gd_t, lmax, r_spec,
                        interpret):
     n, r_total, _, h, w = rd_t.shape
     c = rl_t.shape[2]
-    th = _pick_th_sh(h, w, r_total, c)
+    th = _pick_th_sh(h, w, r_total, c, lmax, rd_t.dtype.itemsize, True)
     kernel = _bwd_kernel(lmax, r_total, r_spec, c, th, w, rl_t.dtype)
     nb = num_sh_basis(lmax)
     dlt, dcf = pl.pallas_call(
