@@ -65,12 +65,38 @@ def make_sphere(n_lat=64, n_lon=96, radius=0.5):
 
 
 def main():
+    import atexit
     import json
 
     import jax
     import jax.numpy as jnp
 
     gates = {}
+    _written = []
+
+    def write_record():
+        # registered atexit so a mid-gate compile failure still leaves
+        # the machine-readable record (round-3 lesson: the first
+        # on-device smoke died in one gate and recorded nothing)
+        if _written:
+            return
+        _written.append(True)
+        out_path = os.environ.get("KERNELS_JSON") or os.path.join(
+            os.path.dirname(__file__), "out", "kernels_gates.json"
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        record = {
+            "backend": jax.default_backend(),
+            "gates": gates,
+            "all_pass": bool(gates) and all(
+                g.get("pass") for g in gates.values()
+            ),
+        }
+        with open(out_path, "w") as fh:
+            json.dump(record, fh, indent=1)
+        print("wrote", out_path, flush=True)
+
+    atexit.register(write_record)
 
     from rnr_tpu.ops.projection import projection, vertices_to_faces
     from rnr_tpu.ops.rasterize import rasterize_face_index
@@ -253,6 +279,25 @@ def main():
     }
 
     # --- 6. fused SH shading kernel vs XLA scan path ------------------
+    # isolated: a failure here must not block the conv gates below
+    try:
+        _sh_gate(gates, jax, jnp, _sync)
+    except Exception as e:
+        gates["sh_shade"] = {"pass": False, "error": repr(e)[:300]}
+        print("sh_shade gate FAILED:", repr(e)[:200], flush=True)
+
+    # --- 7. Pallas U-Net conv kernels vs XLA oracles -------------------
+    try:
+        _conv_gate(gates, jax, jnp, _sync)
+    except Exception as e:
+        gates["unet_convs"] = {"pass": False, "error": repr(e)[:300]}
+        print("unet_convs gate FAILED:", repr(e)[:200], flush=True)
+
+    write_record()
+    assert all(g.get("pass") for g in gates.values()), gates
+
+
+def _sh_gate(gates, jax, jnp, _sync):
     from rnr_tpu.models.rays import ray_render_sh
 
     S2 = 512
@@ -309,20 +354,97 @@ def main():
         "fwdbwd_ms": round(t_pb * 1e3, 2),
     }
 
-    out_path = os.environ.get("KERNELS_JSON") or os.path.join(
-        os.path.dirname(__file__), "out", "kernels_gates.json"
+def _conv_gate(gates, jax, jnp, _sync):
+    """Pallas 3x3 / down4 / convt4 vs the XLA conv oracles, on device.
+
+    Channel counts are chosen to hit the lane-misaligned cases that the
+    original im2col-concat formulation could not compile (C = 108 input
+    layer, C = 64 top level) plus one lane-multiple case (C = 128).
+    """
+    from rnr_tpu.ops.conv_pallas import (
+        _xla_convt4, _xla_down4, conv3x3, convt4, down4,
     )
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    if out_path:
-        record = {
-            "backend": jax.default_backend(),
-            "gates": gates,
-            "all_pass": all(g["pass"] for g in gates.values()),
+
+    rng = np.random.default_rng(7)
+    rows = {}
+    ok = True
+
+    def xla_conv3x3(x, w, b):
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), w.astype(jnp.float32),
+            (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b[None, None, None, :]
+
+    for c, o in ((108, 64), (64, 64), (128, 128)):
+        x = jnp.asarray(
+            rng.standard_normal((1, 128, 256, c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w = jnp.asarray(
+            (rng.standard_normal((3, 3, c, o)) / np.sqrt(9 * c))
+            .astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((o,)).astype(np.float32))
+
+        f_p = jax.jit(lambda x_, w_, b_: conv3x3(
+            x_, w_, b_, pad_mode="same", fuse_act=False))
+        loss_p = jax.jit(jax.grad(
+            lambda w_, b_: jnp.sum(conv3x3(
+                x, w_, b_, pad_mode="same").astype(jnp.float32) ** 2),
+            argnums=(0, 1)))
+        loss_x = jax.jit(jax.grad(
+            lambda w_, b_: jnp.sum(
+                xla_conv3x3(x, w_, b_) ** 2), argnums=(0, 1)))
+
+        yp = np.asarray(f_p(x, w, b), np.float32)
+        yx = np.asarray(xla_conv3x3(x, w, b), np.float32)
+        rel = float(np.max(np.abs(yp - yx)) / (np.max(np.abs(yx)) + 1e-9))
+        gw_p, _ = loss_p(w, b)
+        gw_x, _ = loss_x(w, b)
+        relg = float(jnp.max(jnp.abs(gw_p - gw_x))
+                     / (jnp.max(jnp.abs(gw_x)) + 1e-9))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            yp_t = f_p(x, w, b)
+        _sync(yp_t)
+        dt = (time.perf_counter() - t0) / 5
+        cell_ok = rel < 0.02 and relg < 0.02
+        ok = ok and cell_ok
+        rows[f"conv3x3_c{c}_o{o}"] = {
+            "fwd_rel_err": round(rel, 5), "wgrad_rel_err": round(relg, 5),
+            "fwd_ms": round(dt * 1e3, 3), "pass": bool(cell_ok),
         }
-        with open(out_path, "w") as fh:
-            json.dump(record, fh, indent=1)
-        print("wrote", out_path)
-    assert all(g["pass"] for g in gates.values()), gates
+        print(f"conv3x3 c{c} o{o}: fwd rel {rel:.4f} wgrad rel {relg:.4f} "
+              f"{dt*1e3:6.2f} ms ({'OK' if cell_ok else 'FAIL'})",
+              flush=True)
+
+    x4 = jnp.asarray(
+        rng.standard_normal((1, 128, 256, 64)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w4 = jnp.asarray(
+        (rng.standard_normal((4, 4, 64, 128)) / 32.0).astype(np.float32))
+    yd = np.asarray(
+        jax.jit(down4)(x4, w4).astype(jnp.float32), np.float32)
+    ydx = np.asarray(_xla_down4(x4, w4), np.float32)
+    rel_d = float(np.max(np.abs(yd - ydx)) / (np.max(np.abs(ydx)) + 1e-9))
+    wt = jnp.asarray(
+        (rng.standard_normal((4, 4, 128, 64)) / 32.0).astype(np.float32))
+    x5 = jnp.asarray(
+        rng.standard_normal((1, 64, 128, 128)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    yt = np.asarray(
+        jax.jit(convt4)(x5, wt).astype(jnp.float32), np.float32)
+    ytx = np.asarray(_xla_convt4(x5, wt), np.float32)
+    rel_t = float(np.max(np.abs(yt - ytx)) / (np.max(np.abs(ytx)) + 1e-9))
+    pair_ok = rel_d < 0.02 and rel_t < 0.02
+    ok = ok and pair_ok
+    rows["down4_convt4"] = {
+        "down4_rel_err": round(rel_d, 5),
+        "convt4_rel_err": round(rel_t, 5), "pass": bool(pair_ok),
+    }
+    print(f"down4 rel {rel_d:.4f}  convt4 rel {rel_t:.4f} "
+          f"({'OK' if pair_ok else 'FAIL'})", flush=True)
+    gates["unet_convs"] = {"pass": bool(ok), **rows}
 
 
 if __name__ == "__main__":
