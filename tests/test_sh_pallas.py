@@ -102,3 +102,33 @@ def test_ray_render_sh_backend_parity():
             np.asarray(a[k]), np.asarray(b[k]), rtol=0, atol=1e-4,
             err_msg=k,
         )
+
+
+def test_vmem_budget_tile_picks():
+    """Scoped-VMEM budget regression guard (v5e limit: 16 MB).
+
+    Round 3 on-device: the SH backward at f32/512^2 compiled a tile
+    needing 22.8 MB of scoped VMEM and failed (tools/out KERNELS gate).
+    Pin the picker's choices for every shipped (dtype, size) so a
+    budget regression is caught on CPU before it reaches the chip.
+    """
+    from rnr_tpu.ops.sh_pallas import _pick_th_sh, _round8, num_sh_basis
+
+    def worst_case_bytes(th, w, ray_bytes, bwd):
+        r_total, c = 26, 3
+        io = r_total * 3 * ray_bytes + r_total * c * ray_bytes + 4
+        io += (2 * c * 4 + r_total * c * ray_bytes) if bwd else 2 * c * 4
+        return 2 * io * th * w + _round8(num_sh_basis(10)) * th * w * 4
+
+    for ray_bytes in (2, 4):
+        for w in (128, 512, 1024):
+            for bwd in (False, True):
+                th = _pick_th_sh(w, w, 26, 3, 10, ray_bytes, bwd)
+                assert w % th == 0
+                used = worst_case_bytes(th, w, ray_bytes, bwd)
+                assert used <= 14 * 1024 * 1024, (
+                    ray_bytes, w, bwd, th, used)
+    # the f32 512^2 backward that failed on-device must now tile at <= 8
+    assert _pick_th_sh(512, 512, 26, 3, 10, 4, True) <= 8
+    # bf16 at 512^2 keeps the round-3-measured tile (perf comparability)
+    assert _pick_th_sh(512, 512, 26, 3, 10, 2, True) == 16
