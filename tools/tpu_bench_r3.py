@@ -146,8 +146,10 @@ def main():
         else:
             step_cells = [(cb, rd) for cb in ("xla", "pallas")
                           for rd in ("float32", "bfloat16")]
+        gcn_suffix = ("+gcnbf16" if os.environ.get(
+            "R3_GCN_DTYPE", "float32") == "bfloat16" else "")
         for conv_backend, rays_dtype in step_cells:
-                tag = f"{conv_backend}_{rays_dtype}"
+                tag = f"{conv_backend}_{rays_dtype}{gcn_suffix}"
                 try:
                     dt, loss0, _ = time_step(
                         1, False, conv_backend, rays_dtype
