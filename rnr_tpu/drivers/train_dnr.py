@@ -45,7 +45,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--nf0", type=int, default=64)
     p.add_argument("--unet_conv_backend", default="xla",
-                   choices=["xla", "pallas"],
+                   choices=["xla", "pallas", "pallas_interpret"],
                    help="3x3/4x4 conv backend (pallas = fused "
                         "implicit-GEMM kernels on TPU)")
     p.add_argument("--unet_pad_mode", default="reflect",

@@ -93,7 +93,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"],
                    help="U-Net conv compute dtype (params stay f32)")
     p.add_argument("--unet_conv_backend", default="xla",
-                   choices=["xla", "pallas"],
+                   choices=["xla", "pallas", "pallas_interpret"],
                    help="3x3 stride-1 conv backend (pallas = the fused "
                         "implicit-GEMM kernel on TPU)")
     p.add_argument("--unet_pad_mode", default="reflect",
