@@ -287,3 +287,25 @@ def test_rnr_train_step_pallas_convs():
     assert np.isfinite(float(metrics["loss"]))
     leaves = jax.tree.leaves(new_state.params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_conv_tile_budget_includes_per_tap_result():
+    """_pick_th must count the per-tap [TH, W+2, O] f32 dot result.
+
+    The tap-wise formulation (round-3 Mosaic fix) materializes one
+    full-width f32 result per dot before the shifted accumulation; a
+    budget that ignores it can pick a tile that blows the 16 MB scoped
+    VMEM limit on v5e.
+    """
+    from rnr_tpu.ops.conv_pallas import _pick_th
+
+    for w, c, o in ((512, 108, 64), (512, 64, 64), (256, 128, 128),
+                    (128, 256, 256), (64, 512, 512), (1024, 64, 64)):
+        th = _pick_th(w, c, o)
+        xs = 2 * (th + 2) * (w + 2) * c * 2
+        acc = th * w * o * 4
+        yfull = th * (w + 2) * o * 4
+        out = th * w * o * 2
+        wgt = 9 * c * o * 2
+        assert xs + acc + yfull + out + wgt <= 10 * 1024 * 1024, (
+            w, c, o, th)
