@@ -237,7 +237,9 @@ def main():
     path = os.path.join(os.path.dirname(__file__), "out",
                         "tpu_bench_r3.json")
     # merge so the queue can run sections in separate invocations
-    # without clobbering earlier results
+    # without clobbering earlier results; dict-valued sections (step_b1,
+    # batch) merge row-wise so a partial cell rerun keeps earlier rows —
+    # the best-config picker must see ALL measured cells
     merged = {}
     if os.path.exists(path):
         try:
@@ -245,7 +247,11 @@ def main():
                 merged = json.load(f)
         except Exception:
             merged = {}
-    merged.update(results)
+    for k, v in results.items():
+        if isinstance(v, dict) and isinstance(merged.get(k), dict):
+            merged[k].update(v)
+        else:
+            merged[k] = v
     with open(path, "w") as f:
         json.dump(merged, f, indent=1)
     print("wrote", path, flush=True)
