@@ -44,14 +44,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_th(w: int, c: int, o: int, vmem_budget=10 * 1024 * 1024) -> int:
-    """Row-tile height: largest TH (multiple of 8, <= 64) fitting VMEM."""
+def _ru(v: int, m: int) -> int:
+    """Round v up to a multiple of m."""
+    return -(-v // m) * m
+
+
+def _pick_th(w: int, c: int, o: int, vmem_budget=12 * 1024 * 1024) -> int:
+    """Row-tile height: largest TH (multiple of 8, <= 64) fitting VMEM.
+
+    Budgets with the TILE-ALIGNED dims the kernels actually allocate:
+    Mosaic requires every DMA'd extent of an ANY-space (HBM) operand to
+    be aligned to the (8, 128) tiling — a logical-full slice of a
+    physically padded memref still fails ("Slice shape along dimension 2
+    must be aligned to tiling (8), but is 514", round-3 on-device) — so
+    the impls pad W+2 to a multiple of 8 and C to a multiple of 128
+    before the pallas_call, and the halo scratch holds the padded tile.
+    """
+    wpa = _ru(w + 2, 8)
+    ca = _ru(c, 128)
     for th in (64, 32, 16, 8):
-        xs = 2 * (th + 2) * (w + 2) * c * 2      # double-buffered bf16 halo
+        xs = 2 * (th + 2) * wpa * ca * 2          # double-buffered bf16 halo
         acc = th * w * o * 4                      # f32 accumulator
-        yfull = th * (w + 2) * o * 4              # per-tap dot result
+        yfull = th * wpa * o * 4                  # per-tap dot result
         out = th * w * o * 2
-        wgt = 3 * 3 * c * o * 2
+        wgt = 3 * 3 * ca * o * 2
         if xs + acc + yfull + out + wgt <= vmem_budget and th <= w * 8:
             return th
     return 8
@@ -86,8 +102,13 @@ def _halo_prefetch(xp_ref, xs, sem, th, rows):
     return slot
 
 
-def _conv_kernel(th, w, c, o, n_rows, slope, fuse_act, out_dtype):
-    """Forward kernel: out rows [i*TH, i*TH+TH) of a 3x3 s1 conv."""
+def _conv_kernel(th, w, wpa, c, ca, o, n_rows, slope, fuse_act, out_dtype):
+    """Forward kernel: out rows [i*TH, i*TH+TH) of a 3x3 s1 conv.
+
+    wpa/ca are the DMA-tile-aligned W+2 and C extents (see _pick_th);
+    the alignment padding is zeros with zero weights, so it never
+    reaches the logical output slice.
+    """
 
     def kernel(xp_ref, w_ref, b_ref, out_ref, xs, sem):
         slot = _halo_prefetch(xp_ref, xs, sem, th, th + 2)
@@ -95,12 +116,12 @@ def _conv_kernel(th, w, c, o, n_rows, slope, fuse_act, out_dtype):
         acc = jnp.zeros((th, w, o), jnp.float32)
         for dy in range(3):
             # contiguous slab: leading-dim slice only, no lane offsets
-            xflat = xs[slot, dy:dy + th].reshape(th * (w + 2), c)
+            xflat = xs[slot, dy:dy + th].reshape(th * wpa, ca)
             for dx in range(3):
                 yfull = jnp.dot(
                     xflat, w_ref[dy, dx],
                     preferred_element_type=jnp.float32,
-                ).reshape(th, w + 2, o)
+                ).reshape(th, wpa, o)
                 acc = acc + yfull[:, dx:dx + w]
         y = acc + b_ref[0].astype(jnp.float32)[None, None, :]
         if fuse_act:
@@ -138,16 +159,25 @@ def _conv3x3_fwd_impl(
     row_pad = grid_rows * th - h
     if row_pad:
         xp = jnp.pad(xp, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+    # Mosaic DMA alignment: every extent of the HBM operand's last two
+    # dims must be a multiple of the (8, 128) tile — pad W+2 and C with
+    # zeros (zero weights below make the extra channels inert; the extra
+    # columns never reach the logical output slice).
+    wpa = _ru(width + 2, 8)
+    ca = _ru(c, 128)
+    xp = jnp.pad(
+        xp, ((0, 0), (0, 0), (0, wpa - (width + 2)), (0, ca - c))
+    )
 
     # weights at the activation dtype: bf16 activations get bf16
     # multiplicands (f32 accumulation); f32 activations (e.g.
     # --unet_compute_dtype float32) keep f32 convs on this path too.
     # Kept [dy, dx, C, O]: each [C, O] tap plane is lane-aligned.
-    wk = w.astype(x.dtype)
+    wk = jnp.pad(w, ((0, 0), (0, 0), (0, ca - c), (0, 0))).astype(x.dtype)
     bk = b.astype(jnp.float32).reshape(1, o)
 
     kernel = _conv_kernel(
-        th, width, c, o, h, slope, fuse_act, jnp.dtype(out_dtype)
+        th, width, wpa, c, ca, o, h, slope, fuse_act, jnp.dtype(out_dtype)
     )
     out = pl.pallas_call(
         kernel,
@@ -165,7 +195,7 @@ def _conv3x3_fwd_impl(
             (n, grid_rows * th, width, o), jnp.dtype(out_dtype)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, width + 2, c), x.dtype),
+            pltpu.VMEM((2, th + 2, wpa, ca), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -173,7 +203,7 @@ def _conv3x3_fwd_impl(
     return out[:, :h]
 
 
-def _wgrad_kernel(th, w, c, o, grid_rows, n_batch):
+def _wgrad_kernel(th, w, wpa, c, ca, o, grid_rows, n_batch):
     """dW[dy, dx, C, O] accumulated across the sequential grid.
 
     dW[dy, dx] = sum_p x[p + (dy, dx) - 1] (x) g[p], one dot per tap.
@@ -196,9 +226,9 @@ def _wgrad_kernel(th, w, c, o, grid_rows, n_batch):
 
         g = g_ref[0].reshape(th * w, o)
         for dy in range(3):
-            xd = xs[slot, dy:dy + th]          # [TH, W+2, C]
+            xd = xs[slot, dy:dy + th]          # [TH, WPA, CA]
             for dx in range(3):
-                xsl = xd[:, dx:dx + w].reshape(th * w, c)
+                xsl = xd[:, dx:dx + w].reshape(th * w, ca)
                 dw_ref[dy, dx] = dw_ref[dy, dx] + jax.lax.dot_general(
                     xsl, g,
                     dimension_numbers=(((0,), (0,)), ((), ())),
@@ -223,8 +253,15 @@ def _conv3x3_wgrad_impl(x, g, pad_mode="same", interpret=False):
     if row_pad:
         xp = jnp.pad(xp, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+    # DMA tile alignment (see _pick_th): zero columns/channels contribute
+    # zero to dW rows [c:ca), sliced off below.
+    wpa = _ru(width + 2, 8)
+    ca = _ru(c, 128)
+    xp = jnp.pad(
+        xp, ((0, 0), (0, 0), (0, wpa - (width + 2)), (0, ca - c))
+    )
 
-    kernel = _wgrad_kernel(th, width, c, o, grid_rows, n)
+    kernel = _wgrad_kernel(th, width, wpa, c, ca, o, grid_rows, n)
     dw = pl.pallas_call(
         kernel,
         grid=(n, grid_rows),
@@ -236,17 +273,17 @@ def _conv3x3_wgrad_impl(x, g, pad_mode="same", interpret=False):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (3, 3, c, o), lambda nn, i: (0, 0, 0, 0),
+            (3, 3, ca, o), lambda nn, i: (0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((3, 3, c, o), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, 3, ca, o), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, width + 2, c), x.dtype),
+            pltpu.VMEM((2, th + 2, wpa, ca), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, g.astype(x.dtype))
-    return dw
+    return dw[:, :, :c]
 
 
 # ---------------------------------------------------------------------------
@@ -357,7 +394,7 @@ conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 # would not change the activation-bandwidth story these kernels fix.
 
 
-def _down4_kernel(th, wo, c, o, out_dtype):
+def _down4_kernel(th, wo, wpa, c, ca, o, out_dtype):
     """out rows [i*TH, i*TH+TH) of the k4 s2 down conv.
 
     Input planes E/O: [rows, WO+1, C] (column-parity split of xp), where
@@ -383,7 +420,7 @@ def _down4_kernel(th, wo, c, o, out_dtype):
         acc = jnp.zeros((th, wo, o), jnp.float32)
         for dy in range(4):
             # rows 2i+dy for i in tile: leading-dim stride-2 slice
-            er = es[dy:dy + 2 * th:2]   # [TH, WO+1, C]
+            er = es[dy:dy + 2 * th:2]   # [TH, WPA, CA]
             orr = os_[dy:dy + 2 * th:2]
             # dx taps (E[j], O[j], E[j+1], O[j+1]): one full-slab dot per
             # tap, column shift applied to the OUTPUT slice (no
@@ -392,9 +429,9 @@ def _down4_kernel(th, wo, c, o, out_dtype):
                 ((er, 0), (orr, 0), (er, 1), (orr, 1))
             ):
                 yfull = jnp.dot(
-                    plane.reshape(th * (wo + 1), c), w_ref[dy, dx],
+                    plane.reshape(th * wpa, ca), w_ref[dy, dx],
                     preferred_element_type=jnp.float32,
-                ).reshape(th, wo + 1, o)
+                ).reshape(th, wpa, o)
                 acc = acc + yfull[:, co:co + wo]
         out_ref[0] = acc.astype(out_dtype)
 
@@ -431,11 +468,16 @@ def _down4_fwd_impl(x, w, pad_mode="same", out_dtype=jnp.bfloat16,
     if row_pad > 0:
         e = jnp.pad(e, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
         od = jnp.pad(od, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+    # DMA tile alignment of the parity planes (see _pick_th)
+    wpa = _ru(wo + 1, 8)
+    ca = _ru(c, 128)
+    e = jnp.pad(e, ((0, 0), (0, 0), (0, wpa - (wo + 1)), (0, ca - c)))
+    od = jnp.pad(od, ((0, 0), (0, 0), (0, wpa - (wo + 1)), (0, ca - c)))
 
     # [dy, dx, C, O]; kernel taps (E[j], O[j], E[j+1], O[j+1]) are
     # exactly dx = 0..3, each [C, O] plane lane-aligned
-    wk = w.astype(x.dtype)
-    kernel = _down4_kernel(th, wo, c, o, jnp.dtype(out_dtype))
+    wk = jnp.pad(w, ((0, 0), (0, 0), (0, ca - c), (0, 0))).astype(x.dtype)
+    kernel = _down4_kernel(th, wo, wpa, c, ca, o, jnp.dtype(out_dtype))
     out = pl.pallas_call(
         kernel,
         grid=(n, grid_rows),
@@ -452,8 +494,8 @@ def _down4_fwd_impl(x, w, pad_mode="same", out_dtype=jnp.bfloat16,
             (n, grid_rows * th, wo, o), jnp.dtype(out_dtype)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * th + 2, wo + 1, c), x.dtype),
-            pltpu.VMEM((2 * th + 2, wo + 1, c), x.dtype),
+            pltpu.VMEM((2 * th + 2, wpa, ca), x.dtype),
+            pltpu.VMEM((2 * th + 2, wpa, ca), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -461,7 +503,7 @@ def _down4_fwd_impl(x, w, pad_mode="same", out_dtype=jnp.bfloat16,
     return out[:, :ho]
 
 
-def _convt4_kernel(th, wi, c, o, out_dtype):
+def _convt4_kernel(th, wi, wpa, c, ca, o, out_dtype):
     """Transpose conv k4 s2 SAME: out rows [2*i*TH, 2*i*TH+2*TH).
 
     lax.conv_transpose(SAME, transpose_kernel=False) is a CORRELATION on
@@ -491,12 +533,12 @@ def _convt4_kernel(th, wi, c, o, out_dtype):
                 for (ro, wr) in row_pairs:
                     # full-slab dot per (row, col) tap; column shift on
                     # the OUTPUT slice (no lane-offset concatenate)
-                    xflat = xs[ro:ro + th].reshape(th * (wi + 2), c)
+                    xflat = xs[ro:ro + th].reshape(th * wpa, ca)
                     for (co, wc) in col_pairs:
                         yfull = jnp.dot(
                             xflat, w_ref[wr, wc],
                             preferred_element_type=jnp.float32,
-                        ).reshape(th, wi + 2, o)
+                        ).reshape(th, wpa, o)
                         acc = acc + yfull[:, co:co + wi]
                 outs.append(acc)
         # interleave parities: [TH, 2, WI, 2, O] -> [2TH, 2WI, O]
@@ -522,9 +564,16 @@ def _convt4_fwd_impl(x, w, out_dtype=jnp.bfloat16, interpret=False):
     row_pad = grid_rows * th + 2 - xq.shape[1]
     if row_pad > 0:
         xq = jnp.pad(xq, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+    # DMA tile alignment (see _pick_th)
+    wpa = _ru(width + 2, 8)
+    ca = _ru(c, 128)
+    xq = jnp.pad(
+        xq, ((0, 0), (0, 0), (0, wpa - (width + 2)), (0, ca - c))
+    )
 
-    wk = w.astype(x.dtype)  # [4, 4, C, O] indexed [wr, wc] in-kernel
-    kernel = _convt4_kernel(th, width, c, o, jnp.dtype(out_dtype))
+    # [4, 4, C, O] indexed [wr, wc] in-kernel
+    wk = jnp.pad(w, ((0, 0), (0, 0), (0, ca - c), (0, 0))).astype(x.dtype)
+    kernel = _convt4_kernel(th, width, wpa, c, ca, o, jnp.dtype(out_dtype))
     out = pl.pallas_call(
         kernel,
         grid=(n, grid_rows),
@@ -540,7 +589,7 @@ def _convt4_fwd_impl(x, w, out_dtype=jnp.bfloat16, interpret=False):
             (n, grid_rows * 2 * th, 2 * width, o), jnp.dtype(out_dtype)
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, width + 2, c), x.dtype),
+            pltpu.VMEM((th + 2, wpa, ca), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

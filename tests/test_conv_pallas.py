@@ -297,15 +297,20 @@ def test_conv_tile_budget_includes_per_tap_result():
     budget that ignores it can pick a tile that blows the 16 MB scoped
     VMEM limit on v5e.
     """
-    from rnr_tpu.ops.conv_pallas import _pick_th
+    from rnr_tpu.ops.conv_pallas import _pick_th, _ru
 
     for w, c, o in ((512, 108, 64), (512, 64, 64), (256, 128, 128),
                     (128, 256, 256), (64, 512, 512), (1024, 64, 64)):
         th = _pick_th(w, c, o)
-        xs = 2 * (th + 2) * (w + 2) * c * 2
+        # the kernels allocate the DMA-tile-aligned extents (W+2 rounded
+        # to 8, C rounded to 128) — the budget must count those, not the
+        # logical dims
+        wpa = _ru(w + 2, 8)
+        ca = _ru(c, 128)
+        xs = 2 * (th + 2) * wpa * ca * 2
         acc = th * w * o * 4
-        yfull = th * (w + 2) * o * 4
+        yfull = th * wpa * o * 4
         out = th * w * o * 2
-        wgt = 9 * c * o * 2
-        assert xs + acc + yfull + out + wgt <= 10 * 1024 * 1024, (
+        wgt = 9 * ca * o * 2
+        assert xs + acc + yfull + out + wgt <= 12 * 1024 * 1024, (
             w, c, o, th)

@@ -84,7 +84,9 @@ def main():
         out_path = os.environ.get("KERNELS_JSON") or os.path.join(
             os.path.dirname(__file__), "out", "kernels_gates.json"
         )
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        out_dir = os.path.dirname(out_path)
+        if out_dir:  # relative paths like KERNELS_r03.json have no dir
+            os.makedirs(out_dir, exist_ok=True)
         record = {
             "backend": jax.default_backend(),
             "gates": gates,
