@@ -402,37 +402,43 @@ def _down4_kernel(th, wo, wpa, c, ca, o, out_dtype):
     Needs xp rows [2*i*TH, 2*i*TH + 2*TH + 2).
     """
 
-    def kernel(e_ref, o_ref, w_ref, out_ref, es, os_, sem):
+    def kernel(ee_ref, oe_ref, eo_ref, oo_ref, w_ref, out_ref,
+               s_ee, s_oe, s_eo, s_oo, sem):
         i = pl.program_id(1)
         n = pl.program_id(0)
-        r0 = i * th * 2
-        ce = pltpu.make_async_copy(
-            e_ref.at[n, pl.ds(r0, 2 * th + 2)], es, sem.at[0]
-        )
-        co = pltpu.make_async_copy(
-            o_ref.at[n, pl.ds(r0, 2 * th + 2)], os_, sem.at[1]
-        )
-        ce.start()
-        co.start()
-        ce.wait()
-        co.wait()
+        r0 = i * th
+        scratch = ((s_ee, ee_ref), (s_oe, oe_ref),
+                   (s_eo, eo_ref), (s_oo, oo_ref))
+        dmas = []
+        for k, (scr, ref) in enumerate(scratch):
+            dma = pltpu.make_async_copy(
+                ref.at[n, pl.ds(r0, th + 1)], scr, sem.at[k]
+            )
+            dma.start()
+            dmas.append(dma)
+        for dma in dmas:
+            dma.wait()
 
+        # plane[(row parity, col parity)]; tap (dy, dx) reads
+        # xp[2i + dy, 2j + dx] = plane[dy%2, dx%2][i + dy//2, j + dx//2]
+        # — every in-kernel read is a CONTIGUOUS leading-dim slice
+        # (Mosaic has no strided vector load for 16-bit data; the old
+        # interleaved-rows scratch needed es[dy::2]).
+        planes = {(0, 0): s_ee, (1, 0): s_oe, (0, 1): s_eo, (1, 1): s_oo}
         acc = jnp.zeros((th, wo, o), jnp.float32)
         for dy in range(4):
-            # rows 2i+dy for i in tile: leading-dim stride-2 slice
-            er = es[dy:dy + 2 * th:2]   # [TH, WPA, CA]
-            orr = os_[dy:dy + 2 * th:2]
-            # dx taps (E[j], O[j], E[j+1], O[j+1]): one full-slab dot per
-            # tap, column shift applied to the OUTPUT slice (no
-            # lane-offset concatenate — see module docstring)
-            for dx, (plane, co) in enumerate(
-                ((er, 0), (orr, 0), (er, 1), (orr, 1))
-            ):
+            p_r, o_r = dy % 2, dy // 2
+            for dx in range(4):
+                p_c, o_c = dx % 2, dx // 2
+                # full-slab dot per tap, column shift applied to the
+                # OUTPUT slice (no lane-offset concatenate — see module
+                # docstring)
+                slab = planes[(p_r, p_c)][o_r:o_r + th]   # [TH, WPA, CA]
                 yfull = jnp.dot(
-                    plane.reshape(th * wpa, ca), w_ref[dy, dx],
+                    slab.reshape(th * wpa, ca), w_ref[dy, dx],
                     preferred_element_type=jnp.float32,
                 ).reshape(th, wpa, o)
-                acc = acc + yfull[:, co:co + wo]
+                acc = acc + yfull[:, o_c:o_c + wo]
         out_ref[0] = acc.astype(out_dtype)
 
     return kernel
@@ -473,15 +479,22 @@ def _down4_fwd_impl(x, w, pad_mode="same", out_dtype=jnp.bfloat16,
     ca = _ru(c, 128)
     e = jnp.pad(e, ((0, 0), (0, 0), (0, wpa - (wo + 1)), (0, ca - c)))
     od = jnp.pad(od, ((0, 0), (0, 0), (0, wpa - (wo + 1)), (0, ca - c)))
+    # row-parity split (Mosaic cannot strided-load 16-bit data in VMEM,
+    # so the kernel must read contiguous rows): plane naming is
+    # <row parity><col parity>
+    ee, oe = e[:, 0::2], e[:, 1::2]
+    eo, oo = od[:, 0::2], od[:, 1::2]
 
-    # [dy, dx, C, O]; kernel taps (E[j], O[j], E[j+1], O[j+1]) are
-    # exactly dx = 0..3, each [C, O] plane lane-aligned
+    # [dy, dx, C, O]; tap (dy, dx) = plane[dy%2, dx%2] at row/col offset
+    # (dy//2, dx//2), each [C, O] plane lane-aligned
     wk = jnp.pad(w, ((0, 0), (0, 0), (0, ca - c), (0, 0))).astype(x.dtype)
     kernel = _down4_kernel(th, wo, wpa, c, ca, o, jnp.dtype(out_dtype))
     out = pl.pallas_call(
         kernel,
         grid=(n, grid_rows),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -494,12 +507,14 @@ def _down4_fwd_impl(x, w, pad_mode="same", out_dtype=jnp.bfloat16,
             (n, grid_rows * th, wo, o), jnp.dtype(out_dtype)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * th + 2, wpa, ca), x.dtype),
-            pltpu.VMEM((2 * th + 2, wpa, ca), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((th + 1, wpa, ca), x.dtype),
+            pltpu.VMEM((th + 1, wpa, ca), x.dtype),
+            pltpu.VMEM((th + 1, wpa, ca), x.dtype),
+            pltpu.VMEM((th + 1, wpa, ca), x.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(e, od, wk)
+    )(ee, oe, eo, oo, wk)
     return out[:, :ho]
 
 
@@ -514,7 +529,8 @@ def _convt4_kernel(th, wi, wpa, c, ca, o, out_dtype):
     decomposition for columns.
     """
 
-    def kernel(xq_ref, w_ref, out_ref, xs, sem):
+    def kernel(xq_ref, w_ref, o00_ref, o01_ref, o10_ref, o11_ref,
+               xs, sem):
         i = pl.program_id(1)
         n = pl.program_id(0)
         copy = pltpu.make_async_copy(
@@ -523,7 +539,10 @@ def _convt4_kernel(th, wi, wpa, c, ca, o, out_dtype):
         copy.start()
         copy.wait()
 
-        outs = []
+        # one output ref per (row, col) parity — the [TH, 2, WI, 2, O]
+        # in-kernel interleave reshape is a sublane/lane shuffle Mosaic
+        # has no lowering for; XLA interleaves the four HBM outputs
+        out_refs = ((o00_ref, o01_ref), (o10_ref, o11_ref))
         for a in range(2):
             # (xq row offset, kernel row) pairs per output parity
             row_pairs = ((0, 0), (1, 2)) if a == 0 else ((1, 1), (2, 3))
@@ -540,14 +559,7 @@ def _convt4_kernel(th, wi, wpa, c, ca, o, out_dtype):
                             preferred_element_type=jnp.float32,
                         ).reshape(th, wpa, o)
                         acc = acc + yfull[:, co:co + wi]
-                outs.append(acc)
-        # interleave parities: [TH, 2, WI, 2, O] -> [2TH, 2WI, O]
-        y = jnp.stack(
-            [jnp.stack([outs[0], outs[1]], axis=2),   # a=0: b=0, b=1
-             jnp.stack([outs[2], outs[3]], axis=2)],  # a=1
-            axis=1,
-        )  # [TH, 2, WI, 2, O]
-        out_ref[0] = y.reshape(2 * th, 2 * wi, o).astype(out_dtype)
+                out_refs[a][b][0] = acc.astype(out_dtype)
 
     return kernel
 
@@ -574,26 +586,35 @@ def _convt4_fwd_impl(x, w, out_dtype=jnp.bfloat16, interpret=False):
     # [4, 4, C, O] indexed [wr, wc] in-kernel
     wk = jnp.pad(w, ((0, 0), (0, 0), (0, ca - c), (0, 0))).astype(x.dtype)
     kernel = _convt4_kernel(th, width, wpa, c, ca, o, jnp.dtype(out_dtype))
-    out = pl.pallas_call(
+    par_spec = pl.BlockSpec(
+        (1, th, width, o), lambda nn, i: (nn, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    par_shape = jax.ShapeDtypeStruct(
+        (n, grid_rows * th, width, o), jnp.dtype(out_dtype)
+    )
+    o00, o01, o10, o11 = pl.pallas_call(
         kernel,
         grid=(n, grid_rows),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 2 * th, 2 * width, o), lambda nn, i: (nn, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (n, grid_rows * 2 * th, 2 * width, o), jnp.dtype(out_dtype)
-        ),
+        out_specs=[par_spec] * 4,
+        out_shape=[par_shape] * 4,
         scratch_shapes=[
             pltpu.VMEM((th + 2, wpa, ca), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xq, wk)
+    # interleave parities in XLA: [N, R, 2(a), WI, 2(b), O] ->
+    # [N, 2R, 2WI, O]
+    y = jnp.stack(
+        [jnp.stack([o00, o01], axis=3), jnp.stack([o10, o11], axis=3)],
+        axis=2,
+    )
+    out = y.reshape(n, grid_rows * th * 2, 2 * width, o)
     return out[:, :2 * h]
 
 
