@@ -94,3 +94,60 @@ def euler_to_rot(theta: np.ndarray) -> np.ndarray:
     ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
     rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
     return rz @ ry @ rx
+
+
+def quat2rot(q: np.ndarray) -> np.ndarray:
+    """Rotation matrix from quaternion [w, x, y, z] (data_util.py:123-143).
+
+    Degenerate (near-zero-norm) quaternions map to the identity, like the
+    reference's eps guard.
+    """
+    eps = 1e-5
+    w, x, y, z = float(q[0]), float(q[1]), float(q[2]), float(q[3])
+    n = float(np.linalg.norm(np.asarray(q, np.float64)))
+    s = 0.0 if n < eps else 2.0 / n
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    return np.array([
+        [1 - (yy + zz), xy - wz, xz + wy],
+        [xy + wz, 1 - (xx + zz), yz - wx],
+        [xz - wy, yz + wx, 1 - (xx + yy)],
+    ])
+
+
+def rot2quat(M: np.ndarray) -> np.ndarray:
+    """Quaternion [w, x, y, z] from a rotation matrix (data_util.py:146-172).
+
+    Accepts 3x3 or 4x4 (homogeneous) matrices; uses the trace-vs-diagonal
+    branch structure of the reference (Shepperd's method).
+    """
+    import math
+
+    M = np.asarray(M, np.float64)
+    if M.shape[0] < 4 or M.shape[1] < 4:
+        newM = np.zeros((4, 4))
+        newM[:3, :3] = M[:3, :3]
+        newM[3, 3] = 1.0
+        M = newM
+    q = np.empty((4,))
+    t = np.trace(M)
+    if t > M[3, 3]:
+        q[0] = t
+        q[3] = M[1, 0] - M[0, 1]
+        q[2] = M[0, 2] - M[2, 0]
+        q[1] = M[2, 1] - M[1, 2]
+    else:
+        i, j, k = 0, 1, 2
+        if M[1, 1] > M[0, 0]:
+            i, j, k = 1, 2, 0
+        if M[2, 2] > M[i, i]:
+            i, j, k = 2, 0, 1
+        t = M[i, i] - (M[j, j] + M[k, k]) + M[3, 3]
+        q[i] = t
+        q[j] = M[i, j] + M[j, i]
+        q[k] = M[k, i] + M[i, k]
+        q[3] = M[k, j] - M[j, k]
+        q = q[[3, 0, 1, 2]]
+    q *= 0.5 / math.sqrt(t * M[3, 3])
+    return q

@@ -173,17 +173,21 @@ def edge_gradients(
         ((s - 1) - jnp.arange(s, dtype=dtype))[None, :, None], (n, s, s)
     )
 
-    grad_faces = jnp.zeros((n, f, 3, 2), dtype)
+    # the covering face on the p side owns the edge in every direction —
+    # gather its inverse matrix ONCE (was repeated 4x, r3 hot spot)
+    fidx = safe_idx
+    w_p = weight_map                                     # [N, S, S, 3]
+    inv_p = take_face(finv, fidx).reshape(n, s, s, 3, 3)
 
-    # For each neighbor direction, boundary pixels contribute.
+    # For each neighbor direction, boundary pixels contribute.  The four
+    # directions share one fused elementwise pipeline and ONE segment_sum
+    # at the end (segments encode (face, corner, axis)) instead of four
+    # full-image scatters.
+    seg_parts = []
+    val_parts = []
     for (dy, dx) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
         vdiff = value_diff(dy, dx)                      # [N, S, S]
         boundary = covered & (vdiff != 0.0)
-
-        # the covering face on the p side owns the edge
-        fidx = safe_idx
-        w_p = weight_map                                 # [N, S, S, 3]
-        inv_p = take_face(finv, fidx).reshape(n, s, s, 3, 3)
 
         # direction of travel in raster coords: +x is +xi; +y neighbor in
         # image rows means -yi in raster orientation.
@@ -221,16 +225,16 @@ def edge_gradients(
         # with sign `step` (toward q positive)
         contrib = g_edge[..., None] * split * step       # [N, S, S, 2]
 
-        # scatter into [F, 3, 2] via segment_sum over (face, corner)
-        corner_ids = others                              # [N, S, S, 2]
-        seg = (fidx[..., None] * 3 + corner_ids).reshape(n, -1)
-        vals = contrib.reshape(n, -1)
-        upd = jax.vmap(
-            lambda sg, vl: jax.ops.segment_sum(vl, sg, num_segments=f * 3)
-        )(seg, vals)
-        grad_faces = grad_faces.at[..., ax].add(
-            upd.reshape(n, f, 3)
-        )
+        # segment id over (face, corner, axis)
+        seg_parts.append(
+            ((fidx[..., None] * 3 + others) * 2 + ax).reshape(n, -1))
+        val_parts.append(contrib.reshape(n, -1))
+
+    seg = jnp.concatenate(seg_parts, axis=1)
+    vals = jnp.concatenate(val_parts, axis=1)
+    grad_faces = jax.vmap(
+        lambda sg, vl: jax.ops.segment_sum(vl, sg, num_segments=f * 6)
+    )(seg, vals).reshape(n, f, 3, 2)
 
     # pixel-coord gradients -> NDC gradients: p = (x_ndc * S + S - 1) / 2
     grad_ndc = grad_faces * (s / 2.0)

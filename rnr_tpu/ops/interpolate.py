@@ -97,3 +97,37 @@ def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     Args: img [H, W, C]; returns [out_h, out_w, C].
     """
     return jax.image.resize(img, (out_hw[0], out_hw[1], img.shape[-1]), "bilinear")
+
+
+def interpolate_bilinear_np(data, sub_x, sub_y):
+    """Host-side NumPy twin of interpolate_bilinear (misc.py:45-73).
+
+    Edge-clamped (no out-of-range masking, matching the reference twin's
+    semantics, which differ from the torch version); used by host-side
+    stitch/precompute paths.
+
+    Args:
+      data: [H, W, C] ndarray.
+      sub_x, sub_y: [...] float pixel coordinates.
+    Returns [..., C].
+    """
+    import numpy as np
+
+    x0 = np.floor(sub_x).astype(np.int64)
+    x1 = x0 + 1
+    y0 = np.floor(sub_y).astype(np.int64)
+    y1 = y0 + 1
+    x0 = np.clip(x0, 0, data.shape[1] - 1)
+    x1 = np.clip(x1, 0, data.shape[1] - 1)
+    y0 = np.clip(y0, 0, data.shape[0] - 1)
+    y1 = np.clip(y1, 0, data.shape[0] - 1)
+    i00 = data[y0, x0, :]
+    i10 = data[y1, x0, :]
+    i01 = data[y0, x1, :]
+    i11 = data[y1, x1, :]
+    w00 = (x1 - sub_x) * (y1 - sub_y)
+    w10 = (x1 - sub_x) * (sub_y - y0)
+    w01 = (sub_x - x0) * (y1 - sub_y)
+    w11 = (sub_x - x0) * (sub_y - y0)
+    return (i00 * w00[..., None] + i10 * w10[..., None]
+            + i01 * w01[..., None] + i11 * w11[..., None])

@@ -137,19 +137,21 @@ def _fwd_kernel(lmax, r_total, r_spec, c, th, w, out_dtype):
     return kernel
 
 
-def _bwd_kernel(lmax, r_total, r_spec, c, th, w, lt_dtype):
+def _bwd_kernel(lmax, r_total, r_spec, c, th, w, lt_dtype,
+                partials=False):
     nb = num_sh_basis(lmax)
     r_diff = r_total - r_spec
 
     def kernel(rd_ref, rl_ref, al_ref, cf_ref, gs_ref, gd_ref,
                dlt_ref, dcf_ref, bs):
-        i = pl.program_id(1)
-        n = pl.program_id(0)
-        first = (i == 0) & (n == 0)
+        if not partials:
+            i = pl.program_id(1)
+            n = pl.program_id(0)
+            first = (i == 0) & (n == 0)
 
-        @pl.when(first)
-        def _():
-            dcf_ref[...] = jnp.zeros_like(dcf_ref)
+            @pl.when(first)
+            def _():
+                dcf_ref[...] = jnp.zeros_like(dcf_ref)
 
         alpha = al_ref[0, 0].astype(jnp.float32)
         gs = gs_ref[0].astype(jnp.float32)                 # [C, TH, W]
@@ -185,7 +187,10 @@ def _bwd_kernel(lmax, r_total, r_spec, c, th, w, lt_dtype):
         dcf = jax.lax.fori_loop(
             0, r_total, body, jnp.zeros((nb, c), jnp.float32)
         )
-        dcf_ref[...] = dcf_ref[...] + dcf
+        if partials:
+            dcf_ref[0, 0] = dcf
+        else:
+            dcf_ref[...] = dcf_ref[...] + dcf
 
     return kernel
 
@@ -266,15 +271,29 @@ def _sh_shade_impl(rd_t, rl_t, al_t, coeff, lmax, r_spec, interpret):
 
 @partial(
     jax.jit,
-    static_argnames=("lmax", "r_spec", "interpret"),
+    static_argnames=("lmax", "r_spec", "interpret", "variant"),
 )
 def _sh_shade_bwd_impl(rd_t, rl_t, al_t, coeff, gs_t, gd_t, lmax, r_spec,
-                       interpret):
+                       interpret, variant="partials"):
+    """variant: "partials" (each grid cell writes its own dcoeff block,
+    summed by XLA afterwards — no revisited output block, grid cells
+    fully independent) or "fused" (sequential grid accumulation into a
+    single [nb, c] block)."""
     n, r_total, _, h, w = rd_t.shape
     c = rl_t.shape[2]
     th = _pick_th_sh(h, w, r_total, c, lmax, rd_t.dtype.itemsize, True)
-    kernel = _bwd_kernel(lmax, r_total, r_spec, c, th, w, rl_t.dtype)
+    partials = variant == "partials"
+    kernel = _bwd_kernel(lmax, r_total, r_spec, c, th, w, rl_t.dtype,
+                         partials=partials)
     nb = num_sh_basis(lmax)
+    if partials:
+        dcf_spec = pl.BlockSpec((1, 1, nb, c), lambda nn, i: (nn, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        dcf_shape = jax.ShapeDtypeStruct((n, h // th, nb, c), jnp.float32)
+    else:
+        dcf_spec = pl.BlockSpec((nb, c), lambda nn, i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        dcf_shape = jax.ShapeDtypeStruct((nb, c), jnp.float32)
     dlt, dcf = pl.pallas_call(
         kernel,
         grid=(n, h // th),
@@ -297,18 +316,19 @@ def _sh_shade_bwd_impl(rd_t, rl_t, al_t, coeff, gs_t, gd_t, lmax, r_spec,
             pl.BlockSpec((1, r_total, c, th, w),
                          lambda nn, i: (nn, 0, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, c), lambda nn, i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            dcf_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, r_total, c, h, w), rl_t.dtype),
-            jax.ShapeDtypeStruct((nb, c), jnp.float32),
+            dcf_shape,
         ],
         scratch_shapes=[
             pltpu.VMEM((_round8(nb), th, w), jnp.float32),
         ],
         interpret=interpret,
     )(rd_t, rl_t, al_t, coeff.astype(jnp.float32), gs_t, gd_t)
+    if partials:
+        dcf = dcf.sum(axis=(0, 1))
     return dlt, dcf
 
 
@@ -351,8 +371,11 @@ def _sh_shade_bwd(lmax, r_spec, interpret, res, g):
     al_t = jnp.transpose(alpha_map, (0, 3, 1, 2))
     gs_t = jnp.transpose(gs.astype(jnp.float32), (0, 3, 1, 2))
     gd_t = jnp.transpose(gd.astype(jnp.float32), (0, 3, 1, 2))
+    import os
+
     dlt_t, dcf = _sh_shade_bwd_impl(
-        rd_t, rl_t, al_t, coeff, gs_t, gd_t, lmax, r_spec, interpret
+        rd_t, rl_t, al_t, coeff, gs_t, gd_t, lmax, r_spec, interpret,
+        variant=os.environ.get("RNR_SH_BWD", "partials"),
     )
     dlt = jnp.transpose(dlt_t, (0, 3, 4, 1, 2))
     return (jnp.zeros_like(rays_dir), dlt.astype(rays_lt.dtype),

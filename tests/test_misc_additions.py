@@ -138,3 +138,39 @@ def test_reconcile_sh_bands():
     np.testing.assert_array_equal(down, np.asarray(c[:, :1]))
     same = np.asarray(_reconcile_sh_bands(c, 4))
     np.testing.assert_array_equal(same, np.asarray(c))
+
+
+def test_quat_rot_roundtrip():
+    """quat2rot/rot2quat (reference data_util.py:123-172)."""
+    from rnr_tpu.ops.cameras import euler_to_rot, quat2rot, rot2quat
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        R = euler_to_rot(rng.uniform(-np.pi, np.pi, 3))
+        q = rot2quat(R)
+        R2 = quat2rot(q)
+        np.testing.assert_allclose(R2, R, atol=1e-8)
+        assert abs(np.linalg.norm(q) - 1.0) < 1e-8
+    # degenerate quaternion -> identity (reference eps guard)
+    np.testing.assert_allclose(quat2rot(np.zeros(4)), np.eye(3), atol=0)
+
+
+def test_interpolate_bilinear_np_matches_jax_interior():
+    """NumPy twin (misc.py:45-73) agrees with the jax op on interior
+    coords (edge semantics differ by design: the torch/jax op masks
+    out-of-range, the np twin clamps)."""
+    import jax.numpy as jnp
+
+    from rnr_tpu.ops.interpolate import (
+        interpolate_bilinear, interpolate_bilinear_np,
+    )
+
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal((9, 7, 4)).astype(np.float32)
+    x = rng.uniform(0.0, 5.9, (11,)).astype(np.float32)
+    y = rng.uniform(0.0, 7.9, (11,)).astype(np.float32)
+    out_np = interpolate_bilinear_np(data, x, y)
+    out_j = np.asarray(
+        interpolate_bilinear(jnp.asarray(data), jnp.asarray(x),
+                             jnp.asarray(y)))
+    np.testing.assert_allclose(out_np, out_j, atol=1e-5)

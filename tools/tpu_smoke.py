@@ -332,28 +332,64 @@ def _sh_gate(gates, jax, jnp, _sync):
     out_x, t_x = run_sh("xla")
     rel_sh = float(np.max(np.abs(out_p - out_x))
                    / (np.max(np.abs(out_x)) + 1e-9))
-    # fwd+bwd through the kernel
-    g_p = jax.jit(jax.grad(lambda lt, cf: jnp.sum(ray_render_sh(
-        alb6, d6, al6, lt, cf, 10, backend="pallas", **kw6
-    )["out"] ** 2), argnums=(0, 1)))
-    gl, gc = g_p(lt6, cf6)
-    _sync(gl)
+
+    # fwd+bwd split cells, with the XLA backward as the reference column
+    # (round-3 lesson: a single pallas fwd+bwd number with no reference
+    # and no split let a 665 ms measurement artifact ship unquestioned —
+    # VERDICT r3 item 2)
+    def run_sh_grad(backend):
+        g = jax.jit(jax.grad(lambda lt, cf: jnp.sum(ray_render_sh(
+            alb6, d6, al6, lt, cf, 10, backend=backend, **kw6
+        )["out"] ** 2), argnums=(0, 1)))
+        gl, gc = g(lt6, cf6)
+        _sync(gl)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            gl, gc = g(lt6, cf6)
+        _sync(gl)
+        return (np.asarray(gl), np.asarray(gc),
+                (time.perf_counter() - t0) / 5)
+
+    gl_p, gc_p, t_pb = run_sh_grad("pallas")
+    gl_x, gc_x, t_xb = run_sh_grad("xla")
+    sh_finite = bool(np.isfinite(gl_p).all() and np.isfinite(gc_p).all())
+    grad_rel = float(max(
+        np.max(np.abs(gl_p - gl_x)) / (np.max(np.abs(gl_x)) + 1e-9),
+        np.max(np.abs(gc_p - gc_x)) / (np.max(np.abs(gc_x)) + 1e-9),
+    ))
+    # bwd-only via the raw VJP impl on pre-transposed operands
+    from rnr_tpu.ops.sh_pallas import _sh_shade_bwd_impl
+
+    rd_t = jnp.transpose(d6, (0, 4, 3, 1, 2))
+    rl_t = jnp.transpose(lt6, (0, 3, 4, 1, 2))
+    al_t = jnp.transpose(al6, (0, 3, 1, 2))
+    gs_t = jnp.ones((1, 3, S2, S2), jnp.float32)
+    bwd = jax.jit(lambda: _sh_shade_bwd_impl(
+        rd_t, rl_t, al_t, cf6, gs_t, gs_t, 10, 13, False))
+    _sync(bwd())
     t0 = time.perf_counter()
     for _ in range(5):
-        gl, gc = g_p(lt6, cf6)
-    _sync(gl)
-    t_pb = (time.perf_counter() - t0) / 5
-    sh_finite = bool(np.isfinite(np.asarray(gl)).all()
-                     and np.isfinite(np.asarray(gc)).all())
+        out_b = bwd()
+    _sync(out_b)
+    t_bo = (time.perf_counter() - t0) / 5
+    # a fwd+bwd that disagrees with its parts by >2x is a measurement
+    # artifact, not a kernel property — fail the gate so it gets rerun
+    consistent = t_pb < 2.0 * (t_p + t_bo) + 0.02
     print(f"sh_shade 512^2/26rays  fwd {t_p*1e3:7.1f} ms (xla "
-          f"{t_x*1e3:.1f})  fwd+bwd {t_pb*1e3:7.1f} ms  rel err "
-          f"{rel_sh:.5f}  grads finite: {sh_finite}")
+          f"{t_x*1e3:.1f})  bwd-only {t_bo*1e3:7.1f}  fwd+bwd "
+          f"{t_pb*1e3:7.1f} ms (xla {t_xb*1e3:.1f})  rel err "
+          f"{rel_sh:.5f} grad rel {grad_rel:.2e} finite {sh_finite} "
+          f"consistent {consistent}")
     gates["sh_shade"] = {
-        "pass": bool(rel_sh < 1e-3 and sh_finite),
+        "pass": bool(rel_sh < 1e-3 and grad_rel < 1e-2 and sh_finite
+                     and consistent),
         "rel_err": round(rel_sh, 6),
+        "grad_rel_err": round(grad_rel, 6),
         "fwd_ms": round(t_p * 1e3, 2),
         "xla_fwd_ms": round(t_x * 1e3, 2),
+        "bwdonly_ms": round(t_bo * 1e3, 2),
         "fwdbwd_ms": round(t_pb * 1e3, 2),
+        "xla_fwdbwd_ms": round(t_xb * 1e3, 2),
     }
 
 def _conv_gate(gates, jax, jnp, _sync):
