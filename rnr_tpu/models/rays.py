@@ -291,6 +291,16 @@ def ray_render_sh(
 
     use_kernel = use_pallas(backend)
     if use_kernel:
+        # under a sharded trace the kernel runs per row-shard via
+        # shard_map (ops/shmap.py); that needs the sharded dims to
+        # divide — otherwise fall back to the XLA formulation
+        from rnr_tpu.ops.shmap import active_mesh, shards_divide
+
+        mesh = active_mesh()
+        if mesh is not None and not shards_divide(
+                mesh, rays_dir.shape, ("dp", "sp", None, None, None)):
+            use_kernel = False
+    if use_kernel:
         from rnr_tpu.ops.sh_pallas import sh_shade
 
         ltt_specular, ltt_diffuse = sh_shade(

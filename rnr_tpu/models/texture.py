@@ -104,10 +104,34 @@ class TextureMapper(nn.Module):
         # custom VJP returns zero for it, so stop the gradient here too to
         # keep both backends' gradient semantics identical (ADVICE r2).
         uv_map = jax.lax.stop_gradient(uv_map)
-        if self.pallas_grad and _pallas_ok(texs, uv_map):
+        from rnr_tpu.ops.shmap import active_mesh, shards_divide
+
+        mesh = active_mesh()
+        pl_ok = self.pallas_grad and _pallas_ok(texs, uv_map)
+        if pl_ok and mesh is not None:
+            # shard-local rows must still chunk into 32x32 tiles
+            axes = dict(zip(mesh.axis_names, mesh.axis_sizes))
+            pl_ok = (
+                shards_divide(mesh, uv_map.shape,
+                              ("dp", "sp", None, None))
+                and (uv_map.shape[1] // axes.get("sp", 1)) % 32 == 0
+            )
+        if pl_ok:
             from rnr_tpu.ops.texture_pallas import mipmap_sample
 
-            out = mipmap_sample(tuple(texs), uv_map)
+            if mesh is not None:
+                # per-row-shard kernel; texture levels replicated, their
+                # gradients psum over the mesh via shard_map's transpose
+                from rnr_tpu.ops.shmap import row_shard_map
+
+                out = row_shard_map(
+                    lambda uv, *ts: mipmap_sample(tuple(ts), uv),
+                    in_specs=[("dp", "sp", None, None)]
+                    + [(None,) * t.ndim for t in texs],
+                    out_specs=[("dp", "sp", None, None)],
+                )(uv_map, *texs)
+            else:
+                out = mipmap_sample(tuple(texs), uv_map)
         else:
             out = None
             for level, tex in enumerate(texs):

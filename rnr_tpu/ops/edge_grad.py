@@ -42,8 +42,6 @@ import jax.numpy as jnp
 from rnr_tpu.ops.rasterize import (
     RasterOutput,
     rasterize_face_index,
-    face_inv_matrix,
-    _ndc_to_pixel,
 )
 
 
@@ -139,18 +137,8 @@ def edge_gradients(
     s = face_index_map.shape[1]
     dtype = faces.dtype
 
-    p = _ndc_to_pixel(faces[..., :2], s)       # [N, F, 3, 2] pixel coords
-    finv = face_inv_matrix(p)                  # [N, F, 3, 3]
-
     covered = face_index_map >= 0
     safe_idx = jnp.clip(face_index_map, 0, f - 1)
-
-    def take_face(arr, idx):
-        return jnp.take_along_axis(
-            arr.reshape(n, f, -1),
-            idx.reshape(n, -1, 1).astype(jnp.int32),
-            axis=1,
-        ).reshape((n, s, s) + arr.shape[2:])
 
     # value maps for the photometric term default to alpha-only
     def value_diff(dy, dx):
@@ -173,11 +161,27 @@ def edge_gradients(
         ((s - 1) - jnp.arange(s, dtype=dtype))[None, :, None], (n, s, s)
     )
 
-    # the covering face on the p side owns the edge in every direction —
-    # gather its inverse matrix ONCE (was repeated 4x, r3 hot spot)
+    # the covering face on the p side owns the edge in every direction
     fidx = safe_idx
     w_p = weight_map                                     # [N, S, S, 3]
-    inv_p = take_face(finv, fidx).reshape(n, s, s, 3, 3)
+
+    # Barycentric weights are affine in screen space, so their
+    # directional rate dw/d(step toward q) is a finite difference
+    # between SAME-FACE neighbor pixels — read from the maps we already
+    # have instead of gathering face_inv per pixel (a [S^2]<-[F,9]
+    # random gather measured at 56 ms of the r3 89 ms backward,
+    # prim_probe_r4).  When the forward neighbor belongs to another
+    # face (exactly the boundary pixels), the backward neighbor of the
+    # same face gives the identical rate; only 1-px-thin coverage has
+    # neither, and its rate 0 drops that corner's contribution (the
+    # CUDA walk's eps-regularized divisor makes those terms ~0 too).
+    shifts = {}
+    for (sy, sx) in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        shifts[(sy, sx)] = (
+            # raw map: uncovered neighbors must read -1, never face 0
+            _neighbor_shift(face_index_map, sy, sx, -1),
+            _neighbor_shift(w_p, sy, sx, 0.0),
+        )
 
     # For each neighbor direction, boundary pixels contribute.  The four
     # directions share one fused elementwise pipeline and ONE segment_sum
@@ -195,8 +199,16 @@ def edge_gradients(
         step = dx if dx != 0 else -dy
 
         # crossing edge = barycentric that hits zero first when moving
-        # toward q: rate of each w along the axis
-        rate = inv_p[..., :, ax] * step                  # [N, S, S, 3]
+        # toward q: rate of each w along the step direction, via
+        # same-face finite differences (fwd: w(p+q_dir) - w(p); bwd:
+        # w(p) - w(p-q_dir))
+        fim_f, w_f = shifts[(dy, dx)]
+        fim_b, w_b = shifts[(-dy, -dx)]
+        same_f = (fim_f == face_index_map)[..., None]
+        same_b = (fim_b == face_index_map)[..., None]
+        rate = jnp.where(
+            same_f, w_f - w_p, jnp.where(same_b, w_p - w_b, 0.0)
+        )                                                # [N, S, S, 3]
         # distance (in pixels) until w_k reaches 0 moving toward q
         dist_k = jnp.where(
             rate < -eps, w_p / jnp.maximum(-rate, eps), jnp.inf

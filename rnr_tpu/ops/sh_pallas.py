@@ -347,11 +347,23 @@ def sh_shade(rays_dir, rays_lt, alpha_map, coeff, lmax, r_spec,
     Returns (ltt_specular, ltt_diffuse), each [N, H, W, C] f32 — the
     mean over each fan of rays_lt * (basis(dir) . coeff) * alpha.
     """
+    from rnr_tpu.ops.shmap import row_shard_map
+
     rd_t = jnp.transpose(rays_dir, (0, 4, 3, 1, 2))
     rl_t = jnp.transpose(rays_lt, (0, 3, 4, 1, 2))
     al_t = jnp.transpose(alpha_map, (0, 3, 1, 2))
-    spec, diff = _sh_shade_impl(rd_t, rl_t, al_t, coeff, lmax, r_spec,
-                                interpret)
+    # under a sharded trace, run the kernel per (dp, sp) row-shard — the
+    # shading is per-pixel, so shards are fully independent
+    impl = row_shard_map(
+        partial(_sh_shade_impl, lmax=lmax, r_spec=r_spec,
+                interpret=interpret),
+        in_specs=[("dp", None, None, "sp", None),
+                  ("dp", None, None, "sp", None),
+                  ("dp", None, "sp", None),
+                  (None, None)],
+        out_specs=[("dp", None, "sp", None), ("dp", None, "sp", None)],
+    )
+    spec, diff = impl(rd_t, rl_t, al_t, coeff.astype(jnp.float32))
     return (jnp.transpose(spec, (0, 2, 3, 1)),
             jnp.transpose(diff, (0, 2, 3, 1)))
 
@@ -373,10 +385,25 @@ def _sh_shade_bwd(lmax, r_spec, interpret, res, g):
     gd_t = jnp.transpose(gd.astype(jnp.float32), (0, 3, 1, 2))
     import os
 
-    dlt_t, dcf = _sh_shade_bwd_impl(
-        rd_t, rl_t, al_t, coeff, gs_t, gd_t, lmax, r_spec, interpret,
-        variant=os.environ.get("RNR_SH_BWD", "partials"),
+    from rnr_tpu.ops.shmap import row_shard_map
+
+    # per-shard kernel backward; dcoeff is a reduction over pixels, so
+    # the replicated output psums over the mesh inside the shard_map
+    bwd_impl = row_shard_map(
+        partial(_sh_shade_bwd_impl, lmax=lmax, r_spec=r_spec,
+                interpret=interpret,
+                variant=os.environ.get("RNR_SH_BWD", "partials")),
+        in_specs=[("dp", None, None, "sp", None),
+                  ("dp", None, None, "sp", None),
+                  ("dp", None, "sp", None),
+                  (None, None),
+                  ("dp", None, "sp", None),
+                  ("dp", None, "sp", None)],
+        out_specs=[("dp", None, None, "sp", None), (None, None)],
+        reduce_axes=("dp", "sp"),
     )
+    dlt_t, dcf = bwd_impl(rd_t, rl_t, al_t, coeff.astype(jnp.float32),
+                          gs_t, gd_t)
     dlt = jnp.transpose(dlt_t, (0, 3, 4, 1, 2))
     return (jnp.zeros_like(rays_dir), dlt.astype(rays_lt.dtype),
             jnp.zeros_like(alpha_map), dcf.astype(coeff.dtype))

@@ -81,26 +81,26 @@ def shard_rnr_batch(batch: dict[str, jax.Array], mesh: Mesh) -> dict:
 
 
 def _spmd_safe_model(model):
-    """Force partitionable (XLA) compute paths for mesh-sharded programs.
+    """Force partitionable compute paths for mesh-sharded programs.
 
-    pallas_call has no GSPMD partitioning rule: under a sharded jit a
-    Pallas kernel would either fail to partition or silently all-gather
-    its (sp-row-sharded) operands.  The sharded step builders therefore
-    rebuild the model with the XLA formulations of every dual-backend op
-    (identical numerics — parity-pinned in tests).
+    pallas_call has no GSPMD partitioning rule, but the per-pixel kernels
+    no longer need one: the SH shader and the texture gather/scatter run
+    per row-shard through `jax.shard_map` (ops/shmap.py), with dcoeff /
+    texture-gradient psums over the mesh — so `sh_kernel` keeps its
+    configured backend under a mesh (VERDICT r3 item 4).  Only the U-Net
+    conv kernels are still forced to the XLA formulation: their stencils
+    need halo exchanges between row-shards, which the XLA conv gets from
+    the SPMD partitioner for free and a shard_map'd Pallas conv would
+    have to re-implement by hand (identical numerics either way —
+    parity-pinned in tests).
     """
     import dataclasses
 
     cfg = model.cfg
-    needs = (
-        cfg.rays.sh_kernel != "xla"
-        or cfg.render_net.conv_backend != "xla"
-    )
-    if not needs:
+    if cfg.render_net.conv_backend == "xla":
         return model
     new_cfg = dataclasses.replace(
         cfg,
-        rays=dataclasses.replace(cfg.rays, sh_kernel="xla"),
         render_net=dataclasses.replace(
             cfg.render_net, conv_backend="xla"
         ),
@@ -144,6 +144,9 @@ def make_sharded_rnr_train_step(
         with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
             return base_step(state, batch, statics, rng)
 
+    # exposed for collective accounting (tools/scaling_bench.py lowers
+    # the jitted base step on sharded args to read its HLO collectives)
+    sharded_step.base_step = base_step
     return sharded_step
 
 

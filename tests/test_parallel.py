@@ -205,3 +205,53 @@ def test_distributed_helpers_single_process():
     assert (local, off) == (4, 0)
     x = jnp.arange(6.0)
     np.testing.assert_array_equal(fetch_global(x), np.arange(6.0))
+
+
+def test_collective_stats_parses_hlo():
+    """hlo_stats.collective_stats: shape-byte accounting from HLO text."""
+    from rnr_tpu.parallel.hlo_stats import collective_stats
+
+    hlo = """
+  %ar = f32[2,64]{1,0} all-reduce(f32[2,64] %x), replica_groups={}
+  %ag.1 = bf16[4,32]{1,0} all-gather-start(bf16[1,32] %y), dimensions={0}
+  %agd = bf16[4,32]{1,0} all-gather-done(%ag.1)
+  %cp = f32[8]{0} collective-permute(f32[8] %z)
+  %notacoll = f32[8]{0} add(f32[8] %a, f32[8] %b)
+"""
+    st = collective_stats(hlo)
+    assert st["all-reduce"] == {"count": 1, "bytes": 2 * 64 * 4}
+    assert st["all-gather"] == {"count": 1, "bytes": 4 * 32 * 2}
+    assert st["collective-permute"] == {"count": 1, "bytes": 32}
+    assert st["total_bytes"] == 512 + 256 + 32
+
+
+def test_sharded_step_collective_stats(rng):
+    """The compiled sharded RNR step reports nonzero all-reduce bytes."""
+    import jax
+
+    from rnr_tpu.parallel.hlo_stats import step_collective_stats
+    from rnr_tpu.parallel.sharding import replicated, shard_rnr_batch
+
+    cfg = _tiny_rnr_cfg()
+    model = RNRModel(cfg=cfg, l_dir=_fib_sphere(64))
+    batch = _rnr_batch(rng, s=32)
+    state, tx = create_rnr_state(model, KEY, batch, 1e-3)
+    mesh = make_mesh(8, dp=1)
+    step = make_sharded_rnr_train_step(model, tx, mesh)
+    statics = {
+        "l_samples_init": jnp.asarray(
+            rng.uniform(0, 1, (64, 3)).astype(np.float32)
+        ),
+        "l_samples_mask": jnp.asarray(
+            (rng.uniform(size=64) > 0.3).astype(np.float32)
+        ),
+        "tex_flatten_init": rnr_texture_flatten_init(model, state.params),
+    }
+    st_s = jax.device_put(state, replicated(mesh))
+    stats_s = jax.device_put(statics, replicated(mesh))
+    b_s = shard_rnr_batch(batch, mesh)
+    with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+        cs = step_collective_stats(step.base_step, st_s, b_s, stats_s,
+                                   KEY)
+    assert cs["total_bytes"] > 0
+    assert cs.get("all-reduce", {}).get("bytes", 0) > 0

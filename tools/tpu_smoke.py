@@ -295,8 +295,83 @@ def main():
         gates["unet_convs"] = {"pass": False, "error": repr(e)[:300]}
         print("unet_convs gate FAILED:", repr(e)[:200], flush=True)
 
+    # --- 8. Pallas kernel under shard_map (Mosaic lowering) ------------
+    try:
+        _shmap_gate(gates, jax, jnp, _sync)
+    except Exception as e:
+        gates["sh_shade_shard_map"] = {"pass": False,
+                                       "error": repr(e)[:300]}
+        print("sh_shade_shard_map gate FAILED:", repr(e)[:200],
+              flush=True)
+
     write_record()
     assert all(g.get("pass") for g in gates.values()), gates
+
+
+def _shmap_gate(gates, jax, jnp, _sync):
+    """sh_shade wrapped in jax.shard_map on a 1-device mesh, on hardware.
+
+    The multi-chip program now keeps the Pallas kernels via shard_map
+    (parallel/sharding.py, ops/shmap.py); virtual-CPU tests pin the
+    numerics in interpret mode but cannot exercise Mosaic codegen inside
+    a shard_map body — this gate does, on the one real chip.
+    """
+    from rnr_tpu.models.rays import ray_render_sh
+    from rnr_tpu.parallel import make_mesh
+    from rnr_tpu.parallel.sharding import batch_sharding, replicated
+
+    S2 = 512
+    rngd = np.random.default_rng(5)
+    d = rngd.standard_normal((1, S2, S2, 3, 26)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=3, keepdims=True)
+    d = jnp.asarray(d)
+    lt = jnp.asarray(
+        rngd.uniform(0, 2, (1, S2, S2, 26, 3)).astype(np.float32))
+    al = jnp.asarray(
+        (rngd.uniform(size=(1, S2, S2, 1)) > 0.3).astype(np.float32))
+    cf = jnp.asarray(rngd.standard_normal((121, 3)).astype(np.float32))
+    alb = jnp.asarray(
+        rngd.uniform(0, 1, (1, S2, S2, 3)).astype(np.float32))
+    kw = dict(num_ray_diffuse=13, albedo_diffuse=alb,
+              separate_albedo=True)
+
+    mesh = make_mesh(1, dp=1)
+
+    def loss(lt_, cf_, backend):
+        return jnp.sum(ray_render_sh(
+            alb, d, al, lt_, cf_, 10, backend=backend, **kw)["out"] ** 2)
+
+    ref_v, (ref_gl, ref_gc) = jax.jit(jax.value_and_grad(
+        lambda a, b: loss(a, b, "xla"), argnums=(0, 1)))(lt, cf)
+    _sync(ref_gl)
+
+    fn = jax.jit(jax.value_and_grad(
+        lambda a, b: loss(a, b, "pallas"), argnums=(0, 1)))
+    lt_s = jax.device_put(lt, batch_sharding(mesh, lt.ndim))
+    cf_s = jax.device_put(cf, replicated(mesh))
+    with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+        v, (gl, gc) = fn(lt_s, cf_s)
+    _sync(gl)
+    rel = float(max(
+        abs(float(v) - float(ref_v)) / (abs(float(ref_v)) + 1e-9),
+        np.max(np.abs(np.asarray(gl) - np.asarray(ref_gl)))
+        / (np.max(np.abs(np.asarray(ref_gl))) + 1e-9),
+        np.max(np.abs(np.asarray(gc) - np.asarray(ref_gc)))
+        / (np.max(np.abs(np.asarray(ref_gc))) + 1e-9),
+    ))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+            v, (gl, gc) = fn(lt_s, cf_s)
+    _sync(gl)
+    ms = (time.perf_counter() - t0) / 3 * 1e3
+    print(f"sh_shade under shard_map (1-dev mesh)  fwd+bwd {ms:7.1f} ms"
+          f"  rel err vs xla {rel:.2e}", flush=True)
+    gates["sh_shade_shard_map"] = {
+        "pass": bool(rel < 1e-2),
+        "rel_err_vs_xla": round(rel, 6),
+        "fwdbwd_ms": round(ms, 2),
+    }
 
 
 def _sh_gate(gates, jax, jnp, _sync):
