@@ -214,9 +214,7 @@ def edge_gradients(
             rate < -eps, w_p / jnp.maximum(-rate, eps), jnp.inf
         )
         k_min = jnp.argmin(dist_k, axis=-1)              # [N, S, S]
-        dist = jnp.take_along_axis(
-            dist_k, k_min[..., None], axis=-1
-        )[..., 0]
+        dist = jnp.min(dist_k, axis=-1)
         dist = jnp.clip(dist, 1.0, None)                 # CUDA's >=1px guard
 
         # gradient magnitude on the edge position (toward q is +):
@@ -225,11 +223,20 @@ def edge_gradients(
         g_edge = jnp.where(boundary, -vdiff / dist, 0.0)  # [N, S, S]
 
         # distribute to the two edge vertices (the corners != k_min) by
-        # their barycentric split at the pixel
+        # their barycentric split at the pixel; 3-way selects instead of
+        # a per-pixel take_along_axis (TPU gathers are element-rate-
+        # bound even along the last axis)
         others = jnp.stack(
             [(k_min + 1) % 3, (k_min + 2) % 3], axis=-1
         )                                                # [N, S, S, 2]
-        w_oth = jnp.take_along_axis(w_p, others, axis=-1)
+
+        def pick(idx):
+            return jnp.where(
+                idx == 0, w_p[..., 0],
+                jnp.where(idx == 1, w_p[..., 1], w_p[..., 2]))
+
+        w_oth = jnp.stack(
+            [pick(others[..., 0]), pick(others[..., 1])], axis=-1)
         w_sum = jnp.maximum(w_oth.sum(-1, keepdims=True), eps)
         split = w_oth / w_sum                            # [N, S, S, 2]
 
@@ -305,10 +312,12 @@ def _interior(faces, textures, fim, image_size, near, far, eps, bg):
     from rnr_tpu.ops.rasterize import pixel_attrs
     from rnr_tpu.ops.render_api import sample_textures
 
-    w, zp, covered = pixel_attrs(faces, fim, image_size)
+    w, zp, covered, f_px = pixel_attrs(faces, fim, image_size,
+                                       return_face_px=True)
     depth = jnp.where(covered, zp, far)
     alpha = covered.astype(faces.dtype)
-    rgb = sample_textures(faces, textures, fim, w, zp, eps)
+    rgb = sample_textures(faces, textures, fim, w, zp, eps,
+                          faces_px=f_px)
     bgc = jnp.asarray(bg, rgb.dtype)
     mask = covered[..., None].astype(rgb.dtype)
     rgb = rgb * mask + (1.0 - mask) * bgc
@@ -327,25 +336,30 @@ def _raster_opt_core(faces, textures, image_size, near, far, eps, bg,
 
 def _raster_opt_fwd(faces, textures, image_size, near, far, eps, bg, backend):
     out = _rasterize_winner(faces, image_size, near, far, backend)
-    rgb, alpha, depth, w = _interior(
-        faces, textures, out.face_index_map, image_size, near, far, eps, bg
+    fim = out.face_index_map
+
+    def interior_fn(f, t):
+        rgb_i, alpha_i, depth_i, w_i = _interior(
+            f, t, fim, image_size, near, far, eps, bg
+        )
+        return (rgb_i, alpha_i, depth_i), w_i
+
+    # linearize the interior HERE: the backward then replays only the
+    # transpose (coherent scatters) instead of re-running the interior
+    # forward — whose per-pixel face/texture gathers run at ~40M
+    # elements/s on TPU and dominated the backward (gather_probe_r4).
+    # jax.vjp's closure is a tree-flattenable Partial, a valid residual.
+    ((rgb, alpha, depth), w), vjp_fn = jax.vjp(
+        interior_fn, faces, textures, has_aux=False
     )
-    return (rgb, alpha, depth), (faces, textures, out.face_index_map, w,
-                                 alpha, rgb)
+    return (rgb, alpha, depth), (faces, fim, w, alpha, rgb, vjp_fn)
 
 
 def _raster_opt_bwd(image_size, near, far, eps, bg, backend, res, g):
-    faces, textures, fim, w, alpha, rgb = res
+    faces, fim, w, alpha, rgb, vjp_fn = res
     g_rgb, g_alpha, g_depth = g
 
-    def interior_fn(f, t):
-        rgb_i, alpha_i, depth_i, _ = _interior(
-            f, t, fim, image_size, near, far, eps, bg
-        )
-        return rgb_i, alpha_i, depth_i
-
-    _, vjp_fn = jax.vjp(interior_fn, faces, textures)
-    df_int, dt = vjp_fn((g_rgb, g_alpha, g_depth))
+    df_int, dt = vjp_fn(((g_rgb, g_alpha, g_depth), jnp.zeros_like(w)))
 
     df_edge = edge_gradients(
         faces, fim, w, alpha,

@@ -236,6 +236,7 @@ def pixel_attrs(
     faces: jax.Array,
     face_index_map: jax.Array,
     image_size: int,
+    return_face_px: bool = False,
 ):
     """Differentiable per-pixel weights/depth given a fixed face assignment.
 
@@ -275,4 +276,8 @@ def pixel_attrs(
     zp = _zp_from_weights(w, f_px[..., 2])
     w = jnp.where(covered[..., None], w, 0.0)
     zp = jnp.where(covered, zp, 0.0)
+    if return_face_px:
+        # hand the gathered per-pixel faces to the caller so downstream
+        # consumers (sample_textures' fz) need no second gather
+        return w, zp, covered, f_px
     return w, zp, covered

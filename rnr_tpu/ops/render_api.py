@@ -127,6 +127,7 @@ def sample_textures(
     weight_map: jax.Array,
     depth_map: jax.Array,
     eps: float = 1e-4,
+    faces_px: jax.Array | None = None,
 ) -> jax.Array:
     """Trilinear sampling from per-face [ts,ts,ts,3] texture volumes.
 
@@ -151,16 +152,49 @@ def sample_textures(
     covered = face_index_map >= 0
     safe_idx = jnp.clip(face_index_map, 0, f - 1)
 
-    fz = jnp.take_along_axis(
-        faces[..., 2][:, :, None, :],  # [N, F, 1, 3]
-        safe_idx.reshape(n, -1, 1, 1).astype(jnp.int32), axis=1,
-    ).reshape(n, s, s, 3)
+    if faces_px is not None:
+        # pre-gathered per-pixel faces (pixel_attrs return_face_px=True):
+        # saves a second per-pixel gather + its VJP scatter
+        fz = faces_px[..., :, 2]
+    else:
+        fz = jnp.take_along_axis(
+            faces[..., 2][:, :, None, :],  # [N, F, 1, 3]
+            safe_idx.reshape(n, -1, 1, 1).astype(jnp.int32), axis=1,
+        ).reshape(n, s, s, 3)
 
     ti = weight_map * (ts - 1) * (depth_map[..., None] / fz)
     ti = jnp.clip(ti, 0.0, ts - 1 - eps)  # [N, S, S, 3]
 
     t0 = jnp.floor(ti).astype(jnp.int32)
     frac = ti - t0
+
+    if ts == 2:
+        # ts=2 specialization: floor(ti in [0,1)) == 0, so the 8 corners
+        # are the face's whole [2,2,2] volume at STATIC offsets — one
+        # 8C-wide row gather per pixel instead of 8 index-dependent
+        # gathers (and one scatter instead of 8 in the VJP; TPU
+        # gathers/scatters are per-element-rate-bound, gather_probe_r4)
+        tex_rows = textures.reshape(n, f, 8 * c)
+        bundle = jnp.take_along_axis(
+            tex_rows, safe_idx.reshape(n, -1, 1).astype(jnp.int32),
+            axis=1,
+        ).reshape(n, s, s, 8, c)
+        w8 = []
+        for corner in range(8):
+            w = jnp.ones_like(frac[..., 0])
+            for k in range(3):
+                w = w * ((1.0 - frac[..., k])
+                         if (corner >> k) % 2 == 0 else frac[..., k])
+            # volume linearization: corner bit k indexes axis k with
+            # stride ts^(2-k); for ts=2 that is exactly the bit value
+            w8.append(w)
+        # corner order of tex_rows' last dim: idx = b0*4 + b1*2 + b2,
+        # where bk = bit k of the corner id
+        order = [((cc >> 0) % 2) * 4 + ((cc >> 1) % 2) * 2 + (cc >> 2) % 2
+                 for cc in range(8)]
+        wstack = jnp.stack([w8[order.index(i)] for i in range(8)], -1)
+        out = jnp.sum(wstack[..., None] * bundle, axis=-2)
+        return jnp.where(covered[..., None], out, 0.0)
 
     tex_flat = textures.reshape(n, f * ts * ts * ts, c)
     out = jnp.zeros((n, s, s, c), textures.dtype)

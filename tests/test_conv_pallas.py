@@ -314,3 +314,50 @@ def test_conv_tile_budget_includes_per_tap_result():
         wgt = 9 * ca * o * 2
         assert xs + acc + yfull + out + wgt <= 12 * 1024 * 1024, (
             w, c, o, th)
+
+
+def test_down4_convt4_tile_budget():
+    """Budget assertions for the reworked down4/convt4 allocations.
+
+    ADVICE r3: these reuse _pick_th via ad-hoc halving that no longer
+    models the actual per-block working set — pin it here over every
+    U-Net down/up shape (512^2 nf0=64 5-down config plus 1024-wide).
+
+    down4 per block:  4 single-buffered row-parity scratch planes
+    [TH+1, WPA, CA] at input dtype + the double-buffered output block
+    [TH, WO, O] + per-tap f32 yfull/acc + weights [4,4,CA,O].
+    convt4 per block: one scratch [TH+2, WPA, CA] + 4 double-buffered
+    parity outputs [TH, WI, O] + f32 yfull/acc + weights.
+    """
+    from rnr_tpu.ops.conv_pallas import _pick_th, _ru
+
+    budget = 14 * 1024 * 1024
+    # (input width to the op, C, O): down4 halves W; convt4 doubles it
+    down_shapes = [(512, 64, 64), (256, 64, 128), (128, 128, 256),
+                   (64, 256, 512), (32, 512, 512), (1024, 64, 64)]
+    for width, c, o in down_shapes:
+        wo = width // 2
+        th = max(_pick_th(wo, 4 * c, o) // 2, 1)
+        wpa = _ru(wo + 1, 8)
+        ca = _ru(c, 128)
+        xs = 4 * (th + 1) * wpa * ca * 2          # 4 parity scratches bf16
+        out = 2 * th * wo * o * 2                 # double-buffered block
+        yfull = th * wpa * o * 4                  # per-tap dot result
+        acc = th * wo * o * 4
+        wgt = 16 * ca * o * 2
+        total = xs + out + yfull + acc + wgt
+        assert total <= budget, ("down4", width, c, o, th, total)
+
+    up_shapes = [(32, 512, 512), (64, 512, 256), (128, 256, 128),
+                 (256, 128, 64), (512, 64, 64)]
+    for width, c, o in up_shapes:
+        th = max(_pick_th(width, 2 * c, 4 * o) // 2, 1)
+        wpa = _ru(width + 2, 8)
+        ca = _ru(c, 128)
+        xs = (th + 2) * wpa * ca * 2
+        outs = 4 * 2 * th * width * o * 2         # 4 parity outputs x2
+        yfull = th * wpa * o * 4
+        acc = th * width * o * 4
+        wgt = 16 * ca * o * 2
+        total = xs + outs + yfull + acc + wgt
+        assert total <= budget, ("convt4", width, c, o, th, total)

@@ -156,3 +156,48 @@ def test_renderer_facade_look_at_mode():
     r.eye = jnp.asarray(get_points_from_angles(2.0, 15.0, 30.0))
     rgb, depth, alpha, *_ = r.render(verts, faces, None)
     assert float(jnp.asarray(alpha).sum()) > 0
+
+
+def test_sample_textures_ts2_matches_general(rng):
+    """The ts=2 bundled-gather specialization must match a NumPy oracle
+    of the general 8-corner loop."""
+    import jax.numpy as jnp
+
+    from rnr_tpu.ops.render_api import sample_textures
+
+    n, f, s, c, ts = 1, 7, 8, 3, 2
+    faces = rng.standard_normal((n, f, 3, 3)).astype(np.float32)
+    faces[..., 2] = np.abs(faces[..., 2]) + 1.0
+    tex = rng.uniform(0, 1, (n, f, ts, ts, ts, c)).astype(np.float32)
+    fim = rng.integers(-1, f, (n, s, s)).astype(np.int32)
+    w = rng.uniform(0, 1, (n, s, s, 3)).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    depth = rng.uniform(1, 2, (n, s, s)).astype(np.float32)
+
+    out = np.asarray(sample_textures(
+        jnp.asarray(faces), jnp.asarray(tex), jnp.asarray(fim),
+        jnp.asarray(w), jnp.asarray(depth)))
+
+    # oracle: direct port of the general corner loop
+    eps = 1e-4
+    safe = np.clip(fim, 0, f - 1)
+    fz = faces[..., 2][np.arange(n)[:, None, None], safe]  # [n,s,s,3]
+    ti = np.clip(w * (ts - 1) * (depth[..., None] / fz), 0, ts - 1 - eps)
+    t0 = np.floor(ti).astype(np.int64)
+    frac = ti - t0
+    ref = np.zeros((n, s, s, c), np.float32)
+    texf = tex.reshape(n, f * ts ** 3, c)
+    for corner in range(8):
+        wgt = np.ones((n, s, s), np.float32)
+        idx3 = []
+        for k in range(3):
+            if (corner >> k) % 2 == 0:
+                wgt *= 1.0 - frac[..., k]
+                idx3.append(t0[..., k])
+            else:
+                wgt *= frac[..., k]
+                idx3.append(t0[..., k] + 1)
+        lin = safe * ts ** 3 + idx3[0] * ts ** 2 + idx3[1] * ts + idx3[2]
+        ref += wgt[..., None] * texf[np.arange(n)[:, None, None], lin]
+    ref = np.where((fim >= 0)[..., None], ref, 0.0)
+    np.testing.assert_allclose(out, ref, atol=1e-5)

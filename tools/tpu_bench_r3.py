@@ -93,13 +93,15 @@ def main():
         results["unet"] = rows
 
     # --------------------------------------------------------- full step
-    def build_step(batch_n, remat, conv_backend, rays_dtype):
+    def build_step(batch_n, remat, conv_backend, rays_dtype,
+                   sh_kernel="auto"):
         cfg, model, batch = _build(
             img_size=512, tex_size=512, lmax=10, num_sample=4096,
             nf0=64, num_down=5, gcn_blocks=20, gcn_v=7500,
             num_azi=6, num_polar=2, batch=batch_n, remat=remat,
             rays_dtype=rays_dtype, conv_backend=conv_backend,
             gcn_dtype=os.environ.get("R3_GCN_DTYPE", "float32"),
+            sh_kernel=sh_kernel,
         )
         state, tx = create_rnr_state(
             model, jax.random.PRNGKey(0), batch, cfg.train.lr
@@ -116,9 +118,10 @@ def main():
         step = make_rnr_train_step(model, tx)
         return model, state, batch, statics, step
 
-    def time_step(batch_n, remat, conv_backend, rays_dtype):
+    def time_step(batch_n, remat, conv_backend, rays_dtype,
+                  sh_kernel="auto"):
         model, state, batch, statics, step = build_step(
-            batch_n, remat, conv_backend, rays_dtype
+            batch_n, remat, conv_backend, rays_dtype, sh_kernel
         )
         rng = jax.random.key(
             2, impl=os.environ.get("R3_PRNG", "threefry2x32"))
@@ -148,11 +151,15 @@ def main():
                           for rd in ("float32", "bfloat16")]
         gcn_suffix = ("+gcnbf16" if os.environ.get(
             "R3_GCN_DTYPE", "float32") == "bfloat16" else "")
-        for conv_backend, rays_dtype in step_cells:
-                tag = f"{conv_backend}_{rays_dtype}{gcn_suffix}"
+        for cell in step_cells:
+                conv_backend, rays_dtype = cell[0], cell[1]
+                sh_kernel = cell[2] if len(cell) > 2 else "auto"
+                sh_suffix = f"+sh_{sh_kernel}" if sh_kernel != "auto" \
+                    else ""
+                tag = f"{conv_backend}_{rays_dtype}{gcn_suffix}{sh_suffix}"
                 try:
                     dt, loss0, _ = time_step(
-                        1, False, conv_backend, rays_dtype
+                        1, False, conv_backend, rays_dtype, sh_kernel
                     )
                     rows[tag] = {
                         "ms": round(dt * 1e3, 1),
@@ -235,7 +242,7 @@ def main():
     os.makedirs(os.path.join(os.path.dirname(__file__), "out"),
                 exist_ok=True)
     path = os.path.join(os.path.dirname(__file__), "out",
-                        "tpu_bench_r3.json")
+                        os.environ.get("BENCH_JSON", "tpu_bench_r3.json"))
     # merge so the queue can run sections in separate invocations
     # without clobbering earlier results; dict-valued sections (step_b1,
     # batch) merge row-wise so a partial cell rerun keeps earlier rows —

@@ -82,11 +82,23 @@ def main():
                                               far=100.0)["rgb"])
     cell("A_rasterize_opt_fwd", fwd, faces, tex)
 
-    bwd = jax.jit(jax.grad(lambda fa, t: jnp.sum(
-        rasterize_opt(fa, t, S, near=0.1, far=100.0)["rgb"] ** 2
-    ) + jnp.sum(rasterize_opt(fa, t, S, near=0.1, far=100.0)["alpha"]),
-        argnums=(0, 1)))
+    def loss(fa, t):
+        out = rasterize_opt(fa, t, S, near=0.1, far=100.0)
+        return jnp.sum(out["rgb"] ** 2) + jnp.sum(out["alpha"])
+
+    bwd = jax.jit(jax.grad(loss, argnums=(0, 1)))
     cell("B_rasterize_opt_fwdbwd", bwd, faces, tex)
+    cell("B2_grad_textures_only", jax.jit(jax.grad(loss, argnums=1)),
+         faces, tex)
+    cell("B3_grad_faces_only", jax.jit(jax.grad(loss, argnums=0)),
+         faces, tex)
+
+    def loss_alpha(fa, t):
+        return jnp.sum(rasterize_opt(fa, t, S, near=0.1,
+                                     far=100.0)["alpha"])
+
+    cell("B4_grad_faces_alpha_only", jax.jit(
+        jax.grad(loss_alpha, argnums=0)), faces, tex)
 
     # fixed winner maps for the isolated cells
     out = jax.jit(lambda fa: _rasterize_winner(fa, S, 0.1, 100.0,
