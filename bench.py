@@ -289,6 +289,25 @@ def main() -> None:
         float(jnp.sum(outK["img"][0, 0, 0]))
         i1024_fps = n1024 / (time.perf_counter() - t0)
 
+    # Gate contract (VERDICT r3 item 6/8): surface the newest kernel-gate
+    # record's all_pass with the bench number, so a red gate can never
+    # hide behind a green-looking BENCH file.
+    import glob
+
+    gate_status = None
+    gate_files = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "KERNELS_r*.json")))
+    if gate_files:
+        try:
+            with open(gate_files[-1]) as f:
+                gate_status = {
+                    "file": os.path.basename(gate_files[-1]),
+                    "all_pass": bool(json.load(f).get("all_pass")),
+                }
+        except Exception:
+            gate_status = {"file": os.path.basename(gate_files[-1]),
+                           "all_pass": None}
+
     # The reference publishes no numbers (BASELINE.md), so vs_baseline is
     # anchored to this framework's ROUND-1 recorded value (BENCH_r01.json:
     # 2.5951 frames/s at the canonical 512^2 config) — it tracks
@@ -331,6 +350,7 @@ def main() -> None:
             "infer_1024_frames_per_s": (
                 round(i1024_fps, 4) if i1024_fps else None
             ),
+            "kernel_gates": gate_status,
         },
     }
     print(json.dumps(result))

@@ -161,6 +161,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--calib_format", type=str, default="convert",
                    choices=["convert"])
     p.add_argument("--synthetic", action="store_true")
+    # device-resident training set: stack the RAM-buffered views in HBM
+    # once and gather batches with on-device indexing — zero per-iter
+    # host->device traffic ("auto" enables it when the set fits in 4 GB
+    # and the run is single-device; host batch path otherwise)
+    p.add_argument("--device_view_buffer", type=str, default="auto",
+                   choices=["auto", "on", "off"])
     # multi-chip
     p.add_argument("--mesh_devices", type=int, default=None,
                    help="shard the step over the first N devices")
@@ -607,6 +613,35 @@ def main(argv=None) -> None:
 
     from rnr_tpu.data.prefetch import prefetch
 
+    # Device-resident view buffer (TPU-first): per-iteration host batch
+    # assembly + device_put moves ~35 MB at 512^2 through the tunnel
+    # every step (and the tunnel client pins host RSS per transfer —
+    # the round-4 canonical gate died at 130 GB RSS from exactly this).
+    # When the whole training set fits comfortably in HBM and the run
+    # is single-device, stack it on device ONCE and gather batches with
+    # device-side indexing instead.
+    views_dev = None
+    gcn_pos_dev = None
+    if (opt.device_view_buffer != "off" and not opt.mesh_devices
+            and not distributed):
+        _dev_keys = VIEW_KEYS + ("alpha_map", "img_gt")
+        view_bytes = sum(
+            np.asarray(train_views[0][k]).nbytes for k in _dev_keys
+        ) * len(train_views)
+        if opt.device_view_buffer == "on" or view_bytes <= (4 << 30):
+            views_dev = {
+                k: jnp.asarray(
+                    np.stack([np.asarray(v[k]) for v in train_views])
+                )
+                for k in VIEW_KEYS + ("img_gt",)
+            }
+            views_dev["alpha_map"] = jnp.asarray(np.stack(
+                [np.asarray(v["alpha_map"]) for v in train_views]
+            ))[..., None]
+            gcn_pos_dev = jnp.asarray(gcn_pos)
+            print(f"device view buffer: {len(train_views)} views, "
+                  f"{view_bytes / 1e9:.2f} GB", flush=True)
+
     order_rng = np.random.default_rng(opt.seed)
     it = opt.start_epoch * len(train_views)
     history = []
@@ -615,14 +650,28 @@ def main(argv=None) -> None:
     for epoch in range(opt.start_epoch, opt.max_epoch):
         order = order_rng.permutation(len(train_views))
 
-        def epoch_batches(order=order):
-            for start in range(0, len(order) - bs + 1, bs):
-                yield make_rnr_batch(
-                    [train_views[j] for j in order[start:start + bs]], gcn_pos
-                )
+        if views_dev is not None:
+            def epoch_batches(order=order):
+                for start in range(0, len(order) - bs + 1, bs):
+                    idx = jnp.asarray(order[start:start + bs])
+                    b = {k: a[idx] for k, a in views_dev.items()}
+                    b["gcn_pos"] = gcn_pos_dev
+                    yield b
 
-        # host-side batch assembly overlaps device execution
-        for batch in prefetch(epoch_batches(), depth=2):
+            # all-device gathers: nothing host-bound to overlap
+            batches = epoch_batches()
+        else:
+            def epoch_batches(order=order):
+                for start in range(0, len(order) - bs + 1, bs):
+                    yield make_rnr_batch(
+                        [train_views[j] for j in order[start:start + bs]],
+                        gcn_pos,
+                    )
+
+            # host-side batch assembly overlaps device execution
+            batches = prefetch(epoch_batches(), depth=2)
+
+        for batch in batches:
             if opt.max_iter is not None and it >= opt.max_iter:
                 _final(log_dir, state, history, it, write=main_proc,
                        val_metrics=last_val)

@@ -49,28 +49,81 @@ def _ru(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _pick_th(w: int, c: int, o: int, vmem_budget=12 * 1024 * 1024) -> int:
-    """Row-tile height: largest TH (multiple of 8, <= 64) fitting VMEM.
+def _conv3x3_vmem_bytes(th: int, w: int, c: int, o: int,
+                        x_item: int, out_item: int) -> int:
+    """Modeled per-block VMEM working set of the 3x3 forward kernel.
 
-    Budgets with the TILE-ALIGNED dims the kernels actually allocate:
-    Mosaic requires every DMA'd extent of an ANY-space (HBM) operand to
-    be aligned to the (8, 128) tiling — a logical-full slice of a
+    Counts the TILE-ALIGNED dims the kernel actually allocates: Mosaic
+    requires every DMA'd extent of an ANY-space (HBM) operand to be
+    aligned to the (8, 128) tiling — a logical-full slice of a
     physically padded memref still fails ("Slice shape along dimension 2
     must be aligned to tiling (8), but is 514", round-3 on-device) — so
     the impls pad W+2 to a multiple of 8 and C to a multiple of 128
     before the pallas_call, and the halo scratch holds the padded tile.
+
+    The blocked output spec is pipeline DOUBLE-buffered at the REQUESTED
+    out dtype — the round-4 on-device failure mode was the f32-out dgrad
+    reuse of this kernel (16.61M > 16M scoped limit at TH=16, W=514,
+    C=128, O=64) while the budget modeled a single bf16 output block.
     """
     wpa = _ru(w + 2, 8)
     ca = _ru(c, 128)
-    for th in (64, 32, 16, 8):
-        xs = 2 * (th + 2) * wpa * ca * 2          # double-buffered bf16 halo
-        acc = th * w * o * 4                      # f32 accumulator
-        yfull = th * wpa * o * 4                  # per-tap dot result
-        out = th * w * o * 2
-        wgt = 3 * 3 * ca * o * 2
-        if xs + acc + yfull + out + wgt <= vmem_budget and th <= w * 8:
+    xs = 2 * (th + 2) * wpa * ca * x_item     # double-buffered halo scratch
+    acc = th * w * o * 4                      # f32 accumulator
+    yfull = th * wpa * o * 4                  # per-tap dot result
+    out = 2 * th * w * o * out_item           # double-buffered output block
+    wgt = 3 * 3 * ca * o * x_item
+    return xs + acc + yfull + out + wgt
+
+
+def _down4_vmem_bytes(th: int, wo: int, c: int, o: int,
+                      x_item: int, out_item: int) -> int:
+    """Modeled per-block VMEM working set of the k4 s2 down kernel.
+
+    4 single-buffered row/col-parity scratch planes [TH+1, WPA, CA] at
+    the input dtype + the double-buffered output block [TH, WO, O] +
+    per-tap f32 yfull/acc + weights [4, 4, CA, O].
+    """
+    wpa = _ru(wo + 1, 8)
+    ca = _ru(c, 128)
+    xs = 4 * (th + 1) * wpa * ca * x_item
+    out = 2 * th * wo * o * out_item
+    yfull = th * wpa * o * 4
+    acc = th * wo * o * 4
+    wgt = 4 * 4 * ca * o * x_item
+    return xs + out + yfull + acc + wgt
+
+
+def _convt4_vmem_bytes(th: int, wi: int, c: int, o: int,
+                       x_item: int, out_item: int) -> int:
+    """Modeled per-block VMEM working set of the k4 s2 transpose kernel.
+
+    One scratch [TH+2, WPA, CA] + 4 double-buffered parity output blocks
+    [TH, WI, O] + per-tap f32 yfull/acc + weights [4, 4, CA, O].
+    """
+    wpa = _ru(wi + 2, 8)
+    ca = _ru(c, 128)
+    xs = (th + 2) * wpa * ca * x_item
+    outs = 4 * 2 * th * wi * o * out_item
+    yfull = th * wpa * o * 4
+    acc = th * wi * o * 4
+    wgt = 4 * 4 * ca * o * x_item
+    return xs + outs + yfull + acc + wgt
+
+
+def _pick_th(w: int, c: int, o: int, x_item: int = 2, out_item: int = 2,
+             vmem_budget=12 * 1024 * 1024) -> int:
+    """Row-tile height: largest TH <= 64 fitting the VMEM budget.
+
+    TH only strides leading dims (halo rows / output block rows), so it
+    is not bound to the (8, 128) tiling — f32-activation or f32-output
+    reuses of the kernels at large W need TH < 8 to fit scoped VMEM.
+    """
+    for th in (64, 32, 16, 8, 4, 2):
+        if (_conv3x3_vmem_bytes(th, w, c, o, x_item, out_item)
+                <= vmem_budget and th <= w * 8):
             return th
-    return 8
+    return 2
 
 
 def _halo_prefetch(xp_ref, xs, sem, th, rows):
@@ -153,7 +206,20 @@ def _conv3x3_fwd_impl(
         x, ((0, 0), (1, 1), (1, 1), (0, 0)),
         mode="reflect" if pad_mode == "reflect" else "constant",
     )
-    th = _pick_th(width, c, o)
+    th = _pick_th(width, c, o, x.dtype.itemsize,
+                  jnp.dtype(out_dtype).itemsize)
+    if _conv3x3_vmem_bytes(th, width, c, o, x.dtype.itemsize,
+                           jnp.dtype(out_dtype).itemsize) > 12 * 1024 * 1024:
+        # even the minimal tile cannot fit scoped VMEM (f32 activations
+        # at large W/C) — identical-semantics XLA fallback
+        y = jax.lax.conv_general_dilated(
+            xp, w.astype(x.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ) + b.astype(jnp.float32)[None, None, None, :]
+        if fuse_act:
+            y = jnp.where(y > 0, y, slope * y)
+        return y.astype(out_dtype)
     grid_rows = pl.cdiv(h, th)
     # rows beyond H pad with zeros (outputs there are dropped)
     row_pad = grid_rows * th - h
@@ -247,7 +313,24 @@ def _conv3x3_wgrad_impl(x, g, pad_mode="same", interpret=False):
         x, ((0, 0), (1, 1), (1, 1), (0, 0)),
         mode="reflect" if pad_mode == "reflect" else "constant",
     )
-    th = _pick_th(width, c, o)
+    # the wgrad block layout differs (blocked g input at x dtype + a tiny
+    # revisited [3,3,CA,O] f32 accumulator instead of a full output
+    # block); the forward model with a 4-byte "output" over-covers it.
+    th = _pick_th(width, c, o, x.dtype.itemsize, 4)
+    if _conv3x3_vmem_bytes(th, width, c, o, x.dtype.itemsize,
+                           4) > 12 * 1024 * 1024:
+        # minimal tile over scoped VMEM — XLA fallback (conv is linear
+        # in w, so the vjp at zero weights is the exact wgrad)
+        _, vjp_w = jax.vjp(
+            lambda w_: jax.lax.conv_general_dilated(
+                xp, w_, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ),
+            jnp.zeros((3, 3, c, o), x.dtype),
+        )
+        (dw,) = vjp_w(g.astype(jnp.float32))
+        return dw.astype(jnp.float32)
     grid_rows = pl.cdiv(h, th)
     row_pad = grid_rows * th - h
     if row_pad:
@@ -469,6 +552,18 @@ def _down4_fwd_impl(x, w, pad_mode="same", out_dtype=jnp.bfloat16,
     od = od[:, :, :wo + 1]
 
     th = max(_pick_th(wo, 4 * c, o) // 2, 1)
+    # legacy heuristic above never grows; step DOWN while the kernel's
+    # ACTUAL per-block working set (4 parity scratches + double-buffered
+    # output at the requested dtype) exceeds budget (ADVICE r3).
+    out_item = jnp.dtype(out_dtype).itemsize
+    while th > 1 and _down4_vmem_bytes(
+            th, wo, c, o, x.dtype.itemsize, out_item) > 13 * 1024 * 1024:
+        th //= 2
+    if _down4_vmem_bytes(th, wo, c, o, x.dtype.itemsize,
+                         out_item) > 13 * 1024 * 1024:
+        # unfittable even at TH=1 (f32 weights alone near the scoped
+        # limit at C, O = 512) — XLA fallback
+        return _xla_down4(x, w, pad_mode).astype(out_dtype)
     grid_rows = pl.cdiv(ho, th)
     row_pad = grid_rows * th * 2 + 2 - e.shape[1]
     if row_pad > 0:
@@ -572,6 +667,16 @@ def _convt4_fwd_impl(x, w, out_dtype=jnp.bfloat16, interpret=False):
     xq = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     th = max(_pick_th(width, 2 * c, 4 * o) // 2, 1)
+    # as in down4: never grow past the legacy pick, but honour the
+    # actual allocation model (4 double-buffered parity outputs at the
+    # requested dtype — f32 in the down4-dgrad reuse).
+    out_item = jnp.dtype(out_dtype).itemsize
+    while th > 1 and _convt4_vmem_bytes(
+            th, width, c, o, x.dtype.itemsize, out_item) > 13 * 1024 * 1024:
+        th //= 2
+    if _convt4_vmem_bytes(th, width, c, o, x.dtype.itemsize,
+                          out_item) > 13 * 1024 * 1024:
+        return _xla_convt4(x, w).astype(out_dtype)
     grid_rows = pl.cdiv(h, th)
     row_pad = grid_rows * th + 2 - xq.shape[1]
     if row_pad > 0:

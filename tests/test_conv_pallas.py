@@ -290,30 +290,34 @@ def test_rnr_train_step_pallas_convs():
 
 
 def test_conv_tile_budget_includes_per_tap_result():
-    """_pick_th must count the per-tap [TH, W+2, O] f32 dot result.
+    """_pick_th must count the per-tap [TH, W+2, O] f32 dot result AND
+    the double-buffered output block at its ACTUAL dtype.
 
     The tap-wise formulation (round-3 Mosaic fix) materializes one
-    full-width f32 result per dot before the shifted accumulation; a
-    budget that ignores it can pick a tile that blows the 16 MB scoped
-    VMEM limit on v5e.
+    full-width f32 result per dot before the shifted accumulation; the
+    round-4 on-device failure was the f32-out dgrad reuse of the kernel
+    overflowing scoped VMEM (16.61M > 16M at TH=16, W=514, C=128, O=64)
+    because the budget modeled a single bf16 output block.
     """
-    from rnr_tpu.ops.conv_pallas import _pick_th, _ru
+    from rnr_tpu.ops.conv_pallas import _conv3x3_vmem_bytes, _pick_th
 
-    for w, c, o in ((512, 108, 64), (512, 64, 64), (256, 128, 128),
-                    (128, 256, 256), (64, 512, 512), (1024, 64, 64)):
-        th = _pick_th(w, c, o)
-        # the kernels allocate the DMA-tile-aligned extents (W+2 rounded
-        # to 8, C rounded to 128) — the budget must count those, not the
-        # logical dims
-        wpa = _ru(w + 2, 8)
-        ca = _ru(c, 128)
-        xs = 2 * (th + 2) * wpa * ca * 2
-        acc = th * w * o * 4
-        yfull = th * wpa * o * 4
-        out = th * w * o * 2
-        wgt = 9 * ca * o * 2
-        assert xs + acc + yfull + out + wgt <= 12 * 1024 * 1024, (
-            w, c, o, th)
+    shapes = ((512, 108, 64), (512, 64, 64), (514, 128, 64),
+              (256, 128, 128), (128, 256, 256), (64, 512, 512),
+              (1024, 64, 64))
+    for x_item in (2, 4):           # bf16 and f32 activations
+        for out_item in (2, 4):     # fwd (x dtype) and dgrad (f32) outs
+            for w, c, o in shapes:
+                th = _pick_th(w, c, o, x_item, out_item)
+                fits = (_conv3x3_vmem_bytes(th, w, c, o, x_item, out_item)
+                        <= 12 * 1024 * 1024)
+                # over-budget at the minimal tile is allowed: the impl
+                # detects it and falls back to the XLA conv
+                assert fits or th == 2, (w, c, o, x_item, out_item, th)
+
+    # the exact round-4 on-device OOM cell: bf16 in, f32 out, W=514,
+    # C=128, O=64 — TH=16 modeled 13.4M (measured 16.61M on v5e); the
+    # picker must drop to 8
+    assert _pick_th(514, 128, 64, 2, 4) <= 8
 
 
 def test_down4_convt4_tile_budget():
@@ -329,35 +333,44 @@ def test_down4_convt4_tile_budget():
     convt4 per block: one scratch [TH+2, WPA, CA] + 4 double-buffered
     parity outputs [TH, WI, O] + f32 yfull/acc + weights.
     """
-    from rnr_tpu.ops.conv_pallas import _pick_th, _ru
+    from rnr_tpu.ops.conv_pallas import (
+        _convt4_vmem_bytes, _down4_vmem_bytes, _pick_th)
+
+    def down4_th(wo, c, o, x_item, out_item):
+        th = max(_pick_th(wo, 4 * c, o) // 2, 1)
+        while th > 1 and _down4_vmem_bytes(
+                th, wo, c, o, x_item, out_item) > 13 * 1024 * 1024:
+            th //= 2
+        return th
+
+    def convt4_th(wi, c, o, x_item, out_item):
+        th = max(_pick_th(wi, 2 * c, 4 * o) // 2, 1)
+        while th > 1 and _convt4_vmem_bytes(
+                th, wi, c, o, x_item, out_item) > 13 * 1024 * 1024:
+            th //= 2
+        return th
 
     budget = 14 * 1024 * 1024
-    # (input width to the op, C, O): down4 halves W; convt4 doubles it
+    # (input width to the op, C, O): down4 halves W; convt4 doubles it.
+    # out_item covers the forward (x dtype) AND the f32-out dgrad reuse
+    # (down4's dgrad runs convt4 with out f32 and vice versa).
     down_shapes = [(512, 64, 64), (256, 64, 128), (128, 128, 256),
                    (64, 256, 512), (32, 512, 512), (1024, 64, 64)]
-    for width, c, o in down_shapes:
-        wo = width // 2
-        th = max(_pick_th(wo, 4 * c, o) // 2, 1)
-        wpa = _ru(wo + 1, 8)
-        ca = _ru(c, 128)
-        xs = 4 * (th + 1) * wpa * ca * 2          # 4 parity scratches bf16
-        out = 2 * th * wo * o * 2                 # double-buffered block
-        yfull = th * wpa * o * 4                  # per-tap dot result
-        acc = th * wo * o * 4
-        wgt = 16 * ca * o * 2
-        total = xs + out + yfull + acc + wgt
-        assert total <= budget, ("down4", width, c, o, th, total)
+    for x_item in (2, 4):
+        for out_item in (2, 4):
+            for width, c, o in down_shapes:
+                wo = width // 2
+                th = down4_th(wo, c, o, x_item, out_item)
+                total = _down4_vmem_bytes(th, wo, c, o, x_item, out_item)
+                # unfittable at TH=1 → the impl falls back to XLA
+                assert total <= budget or th == 1, (
+                    "down4", width, c, o, x_item, out_item, th, total)
 
-    up_shapes = [(32, 512, 512), (64, 512, 256), (128, 256, 128),
-                 (256, 128, 64), (512, 64, 64)]
-    for width, c, o in up_shapes:
-        th = max(_pick_th(width, 2 * c, 4 * o) // 2, 1)
-        wpa = _ru(width + 2, 8)
-        ca = _ru(c, 128)
-        xs = (th + 2) * wpa * ca * 2
-        outs = 4 * 2 * th * width * o * 2         # 4 parity outputs x2
-        yfull = th * wpa * o * 4
-        acc = th * width * o * 4
-        wgt = 16 * ca * o * 2
-        total = xs + outs + yfull + acc + wgt
-        assert total <= budget, ("convt4", width, c, o, th, total)
+            up_shapes = [(32, 512, 512), (64, 512, 256), (128, 256, 128),
+                         (256, 128, 64), (512, 64, 64)]
+            for width, c, o in up_shapes:
+                th = convt4_th(width, c, o, x_item, out_item)
+                total = _convt4_vmem_bytes(th, width, c, o, x_item,
+                                           out_item)
+                assert total <= budget or th == 1, (
+                    "convt4", width, c, o, x_item, out_item, th, total)

@@ -66,11 +66,30 @@ ABLATIONS = {
 }
 
 
+def _latest_summary(log_root):
+    """Newest run's summary.json under log_root, or None."""
+    if not os.path.isdir(log_root):
+        return None
+    for run in sorted(os.listdir(log_root), reverse=True):
+        p = os.path.join(log_root, run, "summary.json")
+        if os.path.isfile(p):
+            with open(p) as f:
+                return json.load(f)
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--img", type=int, default=128)
     ap.add_argument("--root", type=str, default=None)
+    # run exactly one arm in THIS process (used by the parent to isolate
+    # each arm in a subprocess: the axon tunnel client leaks ~35 MB of
+    # host RSS per training iteration — round-4's canonical gate died at
+    # 130 GB RSS mid-arm-2, taking every later arm with it)
+    ap.add_argument("--one_arm", type=str, default=None)
+    # incremental output path: partial results survive a crashed arm
+    ap.add_argument("--out", type=str, default=None)
     # canonical-scale gate (VERDICT r2 item 4): the shipped defaults'
     # model sizes — tex 512/24ch/4mip, SH lmax 10, nf0 64 x 5 downs, GCN
     # 20 blocks k=16 (reference train_rnr.sh:1-5); combine with
@@ -141,15 +160,42 @@ def main():
         *platform_args,
     ]
 
-    results = {}
-    for tag in args.ablations.split(","):
-        extra = ABLATIONS[tag]
+    if args.one_arm:
+        tag = args.one_arm
         log_root = os.path.join(root, "logs_" + tag)
         print(f"=== {tag} ===", flush=True)
-        train_rnr.main(common + ["--logging_root", log_root] + extra)
-        run = sorted(os.listdir(log_root))[-1]
-        with open(os.path.join(log_root, run, "summary.json")) as f:
-            results[tag] = json.load(f)
+        train_rnr.main(common + ["--logging_root", log_root]
+                       + ABLATIONS[tag])
+        import resource
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        print(f"arm {tag} peak RSS {rss / 1e6:.2f} GB", flush=True)
+        return
+
+    import subprocess
+
+    results = {}
+    for tag in args.ablations.split(","):
+        log_root = os.path.join(root, "logs_" + tag)
+        if _latest_summary(log_root) is None:
+            # fresh process per arm: one leaking/crashing arm cannot
+            # take down the others, and host RSS resets between arms
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--one_arm", tag, "--root", root,
+                   "--iters", str(args.iters), "--img", str(args.img),
+                   "--ablations", args.ablations]
+            if args.canonical:
+                cmd.append("--canonical")
+            if args.platform:
+                cmd += ["--platform", args.platform]
+            rc = subprocess.run(cmd).returncode
+            if rc != 0:
+                print(f"arm {tag} exited rc={rc}", flush=True)
+        summary = _latest_summary(log_root)
+        results[tag] = (summary if summary is not None
+                        else {"error": "no summary.json (arm crashed)"})
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f)
     print("QUALITY_GATE", json.dumps(results))
 
 

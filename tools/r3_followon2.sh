@@ -35,7 +35,7 @@ commit_artifacts() {
 
 # ---- phase 0: probe ---------------------------------------------------
 stamp "phase 0: TPU probe (25 min timeout)"
-if ! timeout 1500 python -c "
+if ! timeout 1800 python -c "
 import jax, jax.numpy as jnp
 print('TPU_OK', float(jnp.sum(jnp.ones((256,256)))), flush=True)
 "; then

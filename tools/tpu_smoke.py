@@ -71,16 +71,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    gates = {}
-    _written = []
-
     def write_record():
-        # registered atexit so a mid-gate compile failure still leaves
-        # the machine-readable record (round-3 lesson: the first
-        # on-device smoke died in one gate and recorded nothing)
-        if _written:
-            return
-        _written.append(True)
+        # called after EVERY gate (and atexit) so a mid-gate crash still
+        # leaves the gates recorded so far — round-4 lesson: a transient
+        # FAILED_PRECONDITION on the very first device fetch left an
+        # empty {} record committed as KERNELS_r04.json
         out_path = os.environ.get("KERNELS_JSON") or os.path.join(
             os.path.dirname(__file__), "out", "kernels_gates.json"
         )
@@ -98,6 +93,14 @@ def main():
             json.dump(record, fh, indent=1)
         print("wrote", out_path, flush=True)
 
+    class _IncrementalGates(dict):
+        """Persist the gate record on every assignment."""
+
+        def __setitem__(self, key, value):
+            super().__setitem__(key, value)
+            write_record()
+
+    gates = _IncrementalGates()
     atexit.register(write_record)
 
     from rnr_tpu.ops.projection import projection, vertices_to_faces
