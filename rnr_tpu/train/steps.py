@@ -154,7 +154,11 @@ def make_rnr_train_step(
         }
         return loss, aux
 
-    @jax.jit
+    # donate the incoming state: params/opt-state buffers are rewritten
+    # every step, and without donation the update holds both copies
+    # resident (~0.8 GB at canonical scale with Adam) — callers rebind
+    # `state, metrics = step(state, ...)` so the old state is dead
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, statics, rng):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state, batch, statics, rng
@@ -327,7 +331,9 @@ def make_dnr_train_step(cfg: DNRConfig, mods: DNRModules,
         )
         return loss, out
 
-    @jax.jit
+    # donated for the same reason as the RNR step (old state is dead
+    # after the caller rebinds)
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng

@@ -52,12 +52,16 @@ def test_sharded_rnr_step_matches_single_device(rng):
         "tex_flatten_init": rnr_texture_flatten_init(model, state.params),
     }
 
+    # the train steps donate the incoming state — keep an independent
+    # copy so the sharded step can consume the same initial values
+    state_copy = jax.tree.map(jnp.array, state)
+
     single = make_rnr_train_step(model, tx)
     s1, m1 = single(state, batch, statics, KEY)
 
     mesh = make_mesh(8, dp=2)
     sharded = make_sharded_rnr_train_step(model, tx, mesh)
-    s2, m2 = sharded(state, batch, statics, KEY)
+    s2, m2 = sharded(state_copy, batch, statics, KEY)
 
     # Same numerics on 8 virtual devices, up to reduction-order fp noise.
     # Adam divides tiny gradient differences by sqrt(v), so per-step param

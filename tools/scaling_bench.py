@@ -122,10 +122,13 @@ def main() -> None:
             step = make_sharded_rnr_train_step(model, tx, mesh)
         if not opt.eval:
             key = jax.random.PRNGKey(2)
-            s, m = step(state, batch, statics, key)
+            # the train step donates its incoming state — run on a copy
+            # so `state` stays alive for the next device count and the
+            # collective-accounting lowering below
+            s2 = jax.tree.map(jnp.array, state)
+            s2, m = step(s2, batch, statics, key)
             float(m["loss"])  # compile + sync (scalar fetch, not block_until)
             t0 = time.perf_counter()
-            s2 = state
             for _ in range(opt.steps):
                 key, sub = jax.random.split(key)
                 s2, m = step(s2, batch, statics, sub)
