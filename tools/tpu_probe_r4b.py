@@ -61,7 +61,10 @@ def main():
     STEPS = int(os.environ.get("R4_STEPS", 5))
 
     def sync(x):
-        float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+        # device-side reduce + ONE-scalar fetch: np.asarray(leaf) pulls
+        # the whole array through the ~12 MB/s tunnel and poisons the
+        # timing by fetched-bytes/12MB/s (leak_probe_r4 leg C)
+        float(jnp.sum(jax.tree.leaves(x)[0]))
 
     def cell(tag, fn, *args):
         try:

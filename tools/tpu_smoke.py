@@ -32,9 +32,19 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
 def _sync(x):
-    import jax
+    """Synchronize by fetching ONE scalar (device-side reduce first).
 
-    float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+    np.asarray(leaf) fetches the WHOLE array through the tunnel at
+    ~12 MB/s (tools/out/leak_probe_r4.log leg C) — syncing on an 81 MB
+    gradient inflated the round-3 SH-backward gate to 528 ms and the
+    round-4 shard_map gate to 3069 ms while the actual compute was
+    ~20 ms.  block_until_ready can return early on this backend
+    (CLAUDE.md), so a scalar fetch is the only sound sync.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    float(jnp.sum(jax.tree.leaves(x)[0]))
 
 
 def make_sphere(n_lat=64, n_lon=96, radius=0.5):
