@@ -311,3 +311,32 @@ def test_device_view_buffer_batches_match_host_path():
     for k in host:
         np.testing.assert_array_equal(
             np.asarray(host[k]), np.asarray(dev[k]), err_msg=k)
+
+
+def test_train_step_donates_state(rng):
+    """The RNR train step must donate its incoming state (round-4 HBM
+    lever: without donation the Adam update keeps params + moments
+    double-resident, ~0.8 GB at canonical scale)."""
+    import pytest
+
+    from tests.test_parallel import _rnr_batch, _tiny_rnr_cfg, _fib_sphere
+
+    cfg = _tiny_rnr_cfg()
+    model = RNRModel(cfg=cfg, l_dir=_fib_sphere(64))
+    batch = _rnr_batch(rng, s=32)
+    state, tx = create_rnr_state(model, jax.random.PRNGKey(0), batch,
+                                 cfg.train.lr)
+    statics = {
+        "l_samples_init": jnp.asarray(
+            rng.uniform(0, 1, (64, 3)).astype(np.float32)),
+        "l_samples_mask": jnp.asarray(
+            (rng.uniform(size=64) > 0.3).astype(np.float32)),
+        "tex_flatten_init": rnr_texture_flatten_init(model, state.params),
+    }
+    step = make_rnr_train_step(model, tx)
+    old_leaf = jax.tree.leaves(state.params)[0]
+    new_state, metrics = step(state, batch, statics, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # the donated input buffer must be gone
+    with pytest.raises(RuntimeError):
+        np.asarray(old_leaf)
