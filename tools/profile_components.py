@@ -221,8 +221,13 @@ def main():
     }
     step = make_rnr_train_step(model, tx)
 
-    def run_step(s, b, st, r):
-        ns, m = step(s, b, st, r)
+    # the train step donates its incoming state — thread the new state
+    # through a cell so repeated timing calls don't reuse a dead buffer
+    cur = {"state": state}
+
+    def run_step(_s, b, st, r):
+        ns, m = step(cur["state"], b, st, r)
+        cur["state"] = ns
         return m["loss"]
 
     t = timeit(run_step, state, batch, statics, key, steps=args.steps)
