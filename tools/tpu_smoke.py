@@ -431,12 +431,20 @@ def _sh_gate(gates, jax, jnp, _sync):
         )["out"] ** 2), argnums=(0, 1)))
         gl, gc = g(lt6, cf6)
         _sync(gl)
-        t0 = time.perf_counter()
+        # per-call timings with a sync each call: the mean-of-5-unsynced
+        # pattern hid WHICH call was slow when this cell measured 577 ms
+        # while the identical fresh-process probe measured 18.8 ms; the
+        # steady-state (min) is the kernel property, the list is logged
+        # for dispatch/drain forensics
+        ts = []
         for _ in range(5):
+            t0 = time.perf_counter()
             gl, gc = g(lt6, cf6)
-        _sync(gl)
-        return (np.asarray(gl), np.asarray(gc),
-                (time.perf_counter() - t0) / 5)
+            _sync(gl)
+            ts.append(time.perf_counter() - t0)
+        print(f"sh grad[{backend}] per-call ms "
+              f"{[round(t * 1e3, 1) for t in ts]}", flush=True)
+        return np.asarray(gl), np.asarray(gc), min(ts)
 
     gl_p, gc_p, t_pb = run_sh_grad("pallas")
     gl_x, gc_x, t_xb = run_sh_grad("xla")
