@@ -120,6 +120,31 @@ def main():
     from rnr_tpu.ops.cameras import rt_from_pos_lookat
 
     print("backend:", jax.default_backend())
+
+    # --- SH / conv / shard_map gates run FIRST, in a clean device state.
+    # When they ran last (after five raster/texture/kNN gates left
+    # several GB of live buffers), the SH fwd+bwd cell reproducibly
+    # measured ~550-680 ms for BOTH backends while a fresh process
+    # measures 18.8 / 30.1 ms (tools/out/sh_probe_r4.json) — a
+    # process-state artifact, not a kernel property.
+    try:
+        _sh_gate(gates, jax, jnp, _sync)
+    except Exception as e:
+        gates["sh_shade"] = {"pass": False, "error": repr(e)[:300]}
+        print("sh_shade gate FAILED:", repr(e)[:200], flush=True)
+    try:
+        _conv_gate(gates, jax, jnp, _sync)
+    except Exception as e:
+        gates["unet_convs"] = {"pass": False, "error": repr(e)[:300]}
+        print("unet_convs gate FAILED:", repr(e)[:200], flush=True)
+    try:
+        _shmap_gate(gates, jax, jnp, _sync)
+    except Exception as e:
+        gates["sh_shade_shard_map"] = {"pass": False,
+                                       "error": repr(e)[:300]}
+        print("sh_shade_shard_map gate FAILED:", repr(e)[:200],
+              flush=True)
+
     S = 512
     v, vt, vn, f = make_sphere()
     print(f"sphere: {len(v)} verts, {len(f)} faces")
@@ -292,30 +317,6 @@ def main():
         "fwdbwd_ms": round(t_rob * 1e3, 2),
         "config": "512^2, 12000 faces, rgb+alpha coverage grads",
     }
-
-    # --- 6. fused SH shading kernel vs XLA scan path ------------------
-    # isolated: a failure here must not block the conv gates below
-    try:
-        _sh_gate(gates, jax, jnp, _sync)
-    except Exception as e:
-        gates["sh_shade"] = {"pass": False, "error": repr(e)[:300]}
-        print("sh_shade gate FAILED:", repr(e)[:200], flush=True)
-
-    # --- 7. Pallas U-Net conv kernels vs XLA oracles -------------------
-    try:
-        _conv_gate(gates, jax, jnp, _sync)
-    except Exception as e:
-        gates["unet_convs"] = {"pass": False, "error": repr(e)[:300]}
-        print("unet_convs gate FAILED:", repr(e)[:200], flush=True)
-
-    # --- 8. Pallas kernel under shard_map (Mosaic lowering) ------------
-    try:
-        _shmap_gate(gates, jax, jnp, _sync)
-    except Exception as e:
-        gates["sh_shade_shard_map"] = {"pass": False,
-                                       "error": repr(e)[:300]}
-        print("sh_shade_shard_map gate FAILED:", repr(e)[:200],
-              flush=True)
 
     write_record()
     assert all(g.get("pass") for g in gates.values()), gates
