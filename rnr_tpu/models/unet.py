@@ -79,7 +79,13 @@ class Conv(nn.Module):
 
         dt = self.dtype or x.dtype
         x = x.astype(dt)
-        pallas_on = use_pallas(self.backend) and self.backend != "auto"
+        # "pallas3": Pallas for 3x3 stride-1 only, XLA for the 4x4 pair
+        # (the 3x3 kernel beats the conv emitter ~25% in isolated chains
+        # — tools/out/convdot_probe_r4.json — while the full-pallas step
+        # lost the round-4 A/B; this isolates which kernels pay)
+        pallas3_only = self.backend == "pallas3"
+        pallas_on = (pallas3_only or use_pallas(self.backend)) \
+            and self.backend != "auto"
         interp = pallas_interpret(self.backend)
         if pallas_on and k == 3 and self.stride == 1:
             from rnr_tpu.ops.conv_pallas import conv3x3
@@ -88,7 +94,7 @@ class Conv(nn.Module):
                 (self.features,), jnp.float32
             )
             return conv3x3(x, kernel, b, self.pad_mode, False, 0.2, interp)
-        if pallas_on and k == 4 and self.stride == 2:
+        if pallas_on and not pallas3_only and k == 4 and self.stride == 2:
             from rnr_tpu.ops.conv_pallas import down4
 
             y = down4(x, kernel, self.pad_mode, interp)
