@@ -113,9 +113,11 @@ class RenderNetConfig:
     # zero-padded convs (faster on TPU; differs only in the outermost
     # pixel ring, which the training loss crops)
     pad_mode: str = "reflect"
-    # 3x3 stride-1 conv backend: "xla" or "pallas" (the implicit-GEMM
-    # fused kernel, ops/conv_pallas.py)
-    conv_backend: str = "xla"
+    # U-Net conv backend: "auto" = Pallas 3x3 implicit-GEMM + XLA 4x4
+    # on TPU, pure XLA elsewhere (the round-4 measured best: 153.5 vs
+    # 157.5 vs 163.2 ms full-step for pallas3/xla/pallas); "xla",
+    # "pallas" (all kernels), "pallas3" force a choice.
+    conv_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

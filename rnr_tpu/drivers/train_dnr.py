@@ -44,10 +44,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--apply_sh", default=True,
                    type=lambda x: str(x).lower() in ["true", "1"])
     p.add_argument("--nf0", type=int, default=64)
-    p.add_argument("--unet_conv_backend", default="xla",
-                   choices=["xla", "pallas", "pallas_interpret"],
-                   help="3x3/4x4 conv backend (pallas = fused "
-                        "implicit-GEMM kernels on TPU)")
+    p.add_argument("--unet_conv_backend", default="auto",
+                   choices=["auto", "xla", "pallas", "pallas3",
+                            "pallas_interpret"],
+                   help="conv backend (auto = Pallas 3x3 + XLA 4x4 on "
+                        "TPU, xla elsewhere — the measured best)")
     p.add_argument("--unet_pad_mode", default="reflect",
                    choices=["reflect", "same"])
     p.add_argument("--max_epoch", type=int, default=2000)

@@ -92,8 +92,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--unet_compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="U-Net conv compute dtype (params stay f32)")
-    p.add_argument("--unet_conv_backend", default="xla",
-                   choices=["xla", "pallas", "pallas3",
+    p.add_argument("--unet_conv_backend", default="auto",
+                   choices=["auto", "xla", "pallas", "pallas3",
                             "pallas_interpret"],
                    help="U-Net conv backend (pallas = the fused "
                         "implicit-GEMM kernels for 3x3 AND the 4x4 "

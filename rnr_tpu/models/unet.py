@@ -79,13 +79,21 @@ class Conv(nn.Module):
 
         dt = self.dtype or x.dtype
         x = x.astype(dt)
-        # "pallas3": Pallas for 3x3 stride-1 only, XLA for the 4x4 pair
-        # (the 3x3 kernel beats the conv emitter ~25% in isolated chains
-        # — tools/out/convdot_probe_r4.json — while the full-pallas step
-        # lost the round-4 A/B; this isolates which kernels pay)
-        pallas3_only = self.backend == "pallas3"
-        pallas_on = (pallas3_only or use_pallas(self.backend)) \
-            and self.backend != "auto"
+        # "pallas3": Pallas for 3x3 stride-1 only, XLA for the 4x4 pair.
+        # The round-4 on-device A/B (tools/out/tpu_bench_r4.json):
+        # pallas3 153.5 ms vs xla 157.5 vs full-pallas 163.2 for the
+        # full 512^2 step — the 3x3 implicit-GEMM kernel wins (22.3 vs
+        # 15.6 TF/s fwd+bwd in chains, convdot_probe_r4.json) while the
+        # 4x4 parity-plane pair loses to XLA's stride-2 convs.  "auto"
+        # therefore means pallas3 on TPU, xla elsewhere.
+        import jax as _jax
+        pallas3_only = self.backend == "pallas3" or (
+            self.backend == "auto"
+            and _jax.default_backend() not in ("cpu",)
+        )
+        pallas_on = pallas3_only or (
+            use_pallas(self.backend) and self.backend != "auto"
+        )
         interp = pallas_interpret(self.backend)
         if pallas_on and k == 3 and self.stride == 1:
             from rnr_tpu.ops.conv_pallas import conv3x3
