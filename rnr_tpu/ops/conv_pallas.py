@@ -320,14 +320,15 @@ def _conv3x3_wgrad_impl(x, g, pad_mode="same", interpret=False):
     if _conv3x3_vmem_bytes(th, width, c, o, x.dtype.itemsize,
                            4) > 12 * 1024 * 1024:
         # minimal tile over scoped VMEM — XLA fallback (conv is linear
-        # in w, so the vjp at zero weights is the exact wgrad)
+        # in w, so the vjp at zero weights is the exact wgrad).  All-f32
+        # operands: conv_general_dilated requires matching dtypes and
+        # the vjp feeds an f32 cotangent (round-4 1024^2 crash).
         _, vjp_w = jax.vjp(
             lambda w_: jax.lax.conv_general_dilated(
-                xp, w_, (1, 1), "VALID",
+                xp.astype(jnp.float32), w_, (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
             ),
-            jnp.zeros((3, 3, c, o), x.dtype),
+            jnp.zeros((3, 3, c, o), jnp.float32),
         )
         (dw,) = vjp_w(g.astype(jnp.float32))
         return dw.astype(jnp.float32)

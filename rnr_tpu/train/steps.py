@@ -194,6 +194,23 @@ def make_rnr_train_step(
     return step
 
 
+def _with_conv_backend(model: RNRModel, backend: str) -> RNRModel:
+    import dataclasses
+
+    cfg = model.cfg
+    return type(model)(
+        cfg=dataclasses.replace(
+            cfg,
+            render_net=dataclasses.replace(
+                cfg.render_net, conv_backend=backend
+            ),
+        ),
+        l_dir=model.l_dir,
+        init_lighting_coeff=model.init_lighting_coeff,
+        texture_init=model.texture_init,
+    )
+
+
 def make_rnr_eval_step(
     model: RNRModel,
     lighting_idx: int = 0,
@@ -204,7 +221,17 @@ def make_rnr_eval_step(
     `output_keys` prunes the returned dict (default: the rendered image
     only) so XLA can DCE / avoid materializing the big per-ray
     intermediates as program outputs; pass None for the full dict.
+
+    conv_backend "auto" resolves per MODE: the Pallas 3x3 kernel wins
+    the training A/B (fwd+bwd, tools/out/tpu_bench_r4.json: 153.5 vs
+    157.5 ms) but loses inference (22.0 vs 25.9 fps — fwd-only graphs
+    fuse pad/activation into XLA's conv emitter, which a Pallas custom
+    call blocks), so eval swaps auto -> xla.  Param trees are identical
+    across backends, so the same state serves both steps.  Forced
+    values ("pallas", "pallas3", "xla") are honored as-is.
     """
+    if model.cfg.render_net.conv_backend == "auto":
+        model = _with_conv_backend(model, "xla")
 
     @partial(jax.jit, static_argnames=("relight",))
     def step(state: TrainState, batch, lp_override=None, relight: bool = False,

@@ -402,3 +402,38 @@ def test_pallas3_backend_routes_3x3_only():
     v = m_x.init(jax.random.PRNGKey(0), x)
     np.testing.assert_array_equal(
         np.asarray(m_x.apply(v, x)), np.asarray(m_p.apply(v, x)))
+
+
+def test_wgrad_xla_fallback_dtypes(monkeypatch):
+    """The over-budget wgrad fallback must handle bf16 activations (the
+    round-4 1024^2 bench crashed on a bf16-vs-f32 conv dtype mismatch
+    inside the fallback's vjp)."""
+    import rnr_tpu.ops.conv_pallas as cp
+
+    # force every wgrad (and dgrad fwd reuse) onto the fallback branch
+    monkeypatch.setattr(
+        cp, "_conv3x3_vmem_bytes", lambda *a, **k: 1 << 40
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    w = jnp.asarray((rng.standard_normal((3, 3, 4, 8)) * 0.2)
+                    .astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+
+    def loss_p(x_, w_, b_):
+        return jnp.sum(cp.conv3x3(x_, w_, b_, "same", False, 0.2, True)
+                       .astype(jnp.float32) ** 2)
+
+    def loss_x(x_, w_, b_):
+        return jnp.sum(_xla_ref(x_.astype(jnp.float32), w_, b_, "same")
+                       ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, w, b)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(x, w, b)
+    for a, e, name in zip(gp, gx, ("dx", "dw", "db")):
+        scale = np.abs(np.asarray(e)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a).astype(np.float32) / scale,
+            np.asarray(e) / scale, rtol=0, atol=3e-2, err_msg=name)
