@@ -86,10 +86,9 @@ class Conv(nn.Module):
         # 15.6 TF/s fwd+bwd in chains, convdot_probe_r4.json) while the
         # 4x4 parity-plane pair loses to XLA's stride-2 convs.  "auto"
         # therefore means pallas3 on TPU, xla elsewhere.
-        import jax as _jax
+        from rnr_tpu.ops.backend import is_tpu_backend
         pallas3_only = self.backend == "pallas3" or (
-            self.backend == "auto"
-            and _jax.default_backend() not in ("cpu",)
+            self.backend == "auto" and is_tpu_backend()
         )
         pallas_on = pallas3_only or (
             use_pallas(self.backend) and self.backend != "auto"

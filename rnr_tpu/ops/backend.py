@@ -11,11 +11,21 @@ from __future__ import annotations
 import jax
 
 
+# Platforms whose compiler is Mosaic-TPU capable.  "auto" must never
+# route Mosaic kernels to a non-TPU accelerator (e.g. a GPU backend
+# would accept the trace then fail at compile time) — ADVICE r4.
+_TPU_PLATFORMS = ("tpu", "axon")
+
+
+def is_tpu_backend() -> bool:
+    return jax.default_backend() in _TPU_PLATFORMS
+
+
 def use_pallas(backend: str) -> bool:
     """Whether the Pallas path should run for this backend selector."""
     if backend in ("pallas", "pallas_interpret"):
         return True
-    return backend == "auto" and jax.default_backend() not in ("cpu",)
+    return backend == "auto" and is_tpu_backend()
 
 
 def pallas_interpret(backend: str) -> bool:

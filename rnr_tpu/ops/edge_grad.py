@@ -217,6 +217,16 @@ def edge_gradients(
         dist = jnp.min(dist_k, axis=-1)
         dist = jnp.clip(dist, 1.0, None)                 # CUDA's >=1px guard
 
+        # 1-px-thin coverage along this axis (neither neighbor shares the
+        # face): the FD rate is unreadable, but the edge is by definition
+        # within one pixel, so the CUDA walk's eps-regularized divisor
+        # saturates at its >=1px floor — use dist=1 and attribute the
+        # crossing to the smallest barycentric (its opposite edge is the
+        # nearest).  Without this, slivers contribute zero (ADVICE r4).
+        sliver = ~(same_f[..., 0] | same_b[..., 0])      # [N, S, S]
+        k_min = jnp.where(sliver, jnp.argmin(w_p, axis=-1), k_min)
+        dist = jnp.where(sliver, 1.0, dist)
+
         # gradient magnitude on the edge position (toward q is +):
         # moving the edge one pixel toward q changes pixel p's value by
         # (v_q - v_p) when dist<=1; scale by 1/dist otherwise.

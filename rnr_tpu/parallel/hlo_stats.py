@@ -68,9 +68,15 @@ def collective_stats(hlo_text: str) -> dict[str, Any]:
                     continue
                 # shapes are everything before the op name
                 head = rhs.split(kind)[0]
+                shapes = _SHAPE_RE.findall(head)
+                if re.search(rf"\b{kind}-start\(", rhs) and len(shapes) >= 2:
+                    # async -start ops return a tuple
+                    # (operand-alias, result[, scratch...]); only the
+                    # result element is bytes-on-wire — summing the whole
+                    # tuple double-counts (ADVICE r4).
+                    shapes = [shapes[1]]
                 nbytes = sum(
-                    _shape_bytes(dt, dims)
-                    for dt, dims in _SHAPE_RE.findall(head)
+                    _shape_bytes(dt, dims) for dt, dims in shapes
                 )
                 ent = stats.setdefault(kind, {"count": 0, "bytes": 0})
                 ent["count"] += 1

@@ -268,3 +268,44 @@ class TestPallasForward:
             faces = optax.apply_updates(faces, updates)
             losses.append(float(l))
         assert min(losses) < losses[0] * 0.35, (losses[0], min(losses))
+
+
+def test_sliver_triangle_has_vertical_gradient():
+    """ADVICE r4: 1-px-thin faces must still produce coverage gradients.
+
+    A sliver triangle thinner than a pixel row has no same-face vertical
+    neighbors, so the same-face finite-difference barycentric rate is
+    unreadable everywhere; the dist=1 sliver fallback must keep the
+    vertical (thickness) gradient alive.  Without it, d(coverage)/dy was
+    exactly zero for every vertex of such a face.
+    """
+    z = 2.0
+    faces0 = np.asarray(
+        [[[
+            [-0.7, 0.01, z],
+            [0.7, -0.04, z],
+            [0.7, 0.06, z],
+        ]]],
+        np.float32,
+    )
+
+    def area(f):
+        return jnp.sum(silhouette(jnp.asarray(f), S, 0.0, 100.0))
+
+    cov = float(area(faces0))
+    assert cov > 0, "sliver must cover at least a few pixel centers"
+
+    g = np.asarray(jax.grad(area)(jnp.asarray(faces0)))[0, 0]
+    # thickness gradient exists: widening the right end (v2 up, v1 down)
+    # increases coverage
+    assert g[2, 1] > 0, g
+    assert g[1, 1] < 0, g
+
+    # magnitude sanity vs a +-2px finite difference on v2.y (coverage is
+    # a step function over a handful of pixels; same order of magnitude)
+    eps = 2.0 * (2.0 / S)
+    fp = faces0.copy(); fp[0, 0, 2, 1] += eps
+    fm = faces0.copy(); fm[0, 0, 2, 1] -= eps
+    fd = (float(area(fp)) - float(area(fm))) / (2 * eps)
+    assert fd > 0
+    assert 0.1 < g[2, 1] / fd < 10.0, (g[2, 1], fd)

@@ -174,3 +174,78 @@ def test_interpolate_bilinear_np_matches_jax_interior():
         interpolate_bilinear(jnp.asarray(data), jnp.asarray(x),
                              jnp.asarray(y)))
     np.testing.assert_allclose(out_np, out_j, atol=1e-5)
+
+
+def test_pose_helpers_data_util_parity():
+    """The six pipeline-dead data_util helpers (data_util.py:64-229):
+    spiral, view interpolation, nn ranking, az/el rotation, random Euler,
+    rotation magnitude."""
+    from rnr_tpu.ops.cameras import (
+        az_el_to_rot, euler_to_rot, get_archimedean_spiral,
+        get_nn_ranking, interpolate_views, rand_euler_rotation_matrix,
+        rot_mag,
+    )
+
+    # Archimedean spiral: num_step points on the sphere of given radius.
+    pts = get_archimedean_spiral(2.0, origin=np.array([1.0, 0.0, 0.0]),
+                                 num_step=50)
+    assert len(pts) == 50
+    radii = [np.linalg.norm(p - np.array([1.0, 0.0, 0.0])) for p in pts]
+    np.testing.assert_allclose(radii, 2.0, atol=1e-9)
+    # first point (i = a/2) is at elevation 0 => z == origin z
+    np.testing.assert_allclose(pts[0][2], 0.0, atol=1e-9)
+
+    # interpolate_views: endpoints match inputs (up to column renorm),
+    # rotation columns stay unit norm throughout.
+    p1, p2 = np.eye(4), np.eye(4)
+    p2[:3, :3] = euler_to_rot(np.array([0.3, -0.2, 0.5]))
+    p2[:3, 3] = [1.0, 2.0, 3.0]
+    poses = interpolate_views(p1, p2, num_steps=7)
+    assert len(poses) == 7
+    np.testing.assert_allclose(poses[0], p1, atol=1e-12)
+    np.testing.assert_allclose(poses[-1], p2, atol=1e-12)
+    for p in poses:
+        np.testing.assert_allclose(
+            np.linalg.norm(p[:3, :3], axis=0), 1.0, atol=1e-12)
+
+    # get_nn_ranking: nearest neighbor of view 0 is the view with the
+    # closest optical axis; diagonal removed; rows sorted ascending.
+    def pose_with_axis(v):
+        P = np.eye(4)
+        P[:3, 2] = v / np.linalg.norm(v)
+        return P
+
+    axes = [np.array([0.0, 0.0, 1.0]), np.array([0.05, 0.0, 1.0]),
+            np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.2])]
+    nn_idcs, sims = get_nn_ranking([pose_with_axis(a) for a in axes])
+    assert nn_idcs.shape == (4, 4) and sims.shape == (4, 4)
+    assert nn_idcs[0, -1] == 1  # most similar last (ascending order)
+    assert np.all(np.diff(sims, axis=1) >= 0)
+    assert np.all(sims[:, 0] == -1.0)  # self-similarity forced to -1
+
+    # az_el_to_rot: orthonormal, det +1, and az=el=0 gives the inverse
+    # correction matrix exactly.
+    corr = np.array([[0.0, 0.0, -1.0], [1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+    np.testing.assert_allclose(az_el_to_rot(0.0, 0.0),
+                               np.linalg.inv(corr), atol=1e-12)
+    R = az_el_to_rot(33.0, -12.0)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-12)
+
+    # rand_euler_rotation_matrix: angles bounded by nmax degrees,
+    # matrix reproducible from the returned angles.
+    rng = np.random.default_rng(7)
+    R, euler_deg = rand_euler_rotation_matrix(nmax=10, rng=rng)
+    assert np.all(np.abs(euler_deg) <= 10.0)
+    np.testing.assert_allclose(
+        R, euler_to_rot(np.radians(euler_deg)), atol=1e-12)
+
+    # rot_mag: closed form equals ||logm(R)||_F/sqrt(2)*180/pi (the
+    # reference formula) on proper rotations.
+    from scipy.linalg import logm
+
+    for ang in [0.0, 0.3, 1.2, 2.9]:
+        R = euler_to_rot(np.array([0.0, 0.0, ang]))
+        ref = np.linalg.norm(logm(R), 'fro') / np.sqrt(2) * 180 / np.pi
+        np.testing.assert_allclose(rot_mag(R), ref, atol=1e-6)
+    np.testing.assert_allclose(rot_mag(np.eye(3)), 0.0, atol=0)

@@ -229,6 +229,28 @@ def test_collective_stats_parses_hlo():
     assert st["total_bytes"] == 512 + 256 + 32
 
 
+def test_collective_stats_async_start_tuples():
+    """ADVICE r4: tuple-shaped `-start` ops return (operand-alias,
+    result[, scratch]); only the RESULT element is bytes-on-wire."""
+    from rnr_tpu.parallel.hlo_stats import collective_stats
+
+    hlo = """
+  %ars = (f32[2,64]{1,0}, f32[2,64]{1,0}) all-reduce-start(f32[2,64] %x), replica_groups={}
+  %ard = f32[2,64]{1,0} all-reduce-done(%ars)
+  %ags = (bf16[1,32]{1,0}, bf16[4,32]{1,0}) all-gather-start(bf16[1,32] %y), dimensions={0}
+  %agd = bf16[4,32]{1,0} all-gather-done(%ags)
+  %cps = (f32[8]{0}, f32[8]{0}, u32[], u32[]) collective-permute-start(f32[8] %z)
+  %cpd = f32[8]{0} collective-permute-done(%cps)
+"""
+    st = collective_stats(hlo)
+    assert st["all-reduce"] == {"count": 1, "bytes": 2 * 64 * 4}
+    # result element is the gathered (big) shape, not the operand alias
+    assert st["all-gather"] == {"count": 1, "bytes": 4 * 32 * 2}
+    # scratch u32[] elements don't count
+    assert st["collective-permute"] == {"count": 1, "bytes": 32}
+    assert st["total_bytes"] == 512 + 256 + 32
+
+
 def test_sharded_step_collective_stats(rng):
     """The compiled sharded RNR step reports nonzero all-reduce bytes."""
     import jax

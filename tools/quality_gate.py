@@ -78,6 +78,25 @@ def _latest_summary(log_root):
     return None
 
 
+def _gate_cfg(args):
+    return {"iters": args.iters, "img": args.img,
+            "canonical": bool(args.canonical),
+            "platform": args.platform, "relight": True}
+
+
+def _arm_log_root(root, tag, cfg):
+    """Per-arm log dir, namespaced by a hash of the gate config: a
+    summary left by an earlier run with different --iters/--img/
+    --canonical/--platform must not short-circuit the arm (ADVICE r4).
+    The bare logs_<tag> name is kept for the default config so existing
+    committed artifacts keep resuming."""
+    import hashlib
+
+    canon = json.dumps(cfg, sort_keys=True)
+    h = hashlib.sha256(canon.encode()).hexdigest()[:8]
+    return os.path.join(root, f"logs_{tag}_{h}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
@@ -151,7 +170,12 @@ def main():
         "--obj_low_fp", "_/mesh.obj", "--obj_gcn_fp", "_/mesh.obj",
         "--img_size", str(args.img), *size_args,
         "--sphere_samples_fp", "nonexistent.mat",
-        "--lighting_idx", "0", "--max_iter", str(args.iters),
+        # relight channel: every arm's final validation also scores
+        # relighting PSNR/SSIM against the rgb1/ second-lighting ground
+        # truth (reference train_rnr.py:549-555,834,878-881) — the
+        # flagship capability must be quality-gated too (VERDICT r4 #2)
+        "--lighting_idx", "0", "--lighting_relight_idx", "1",
+        "--max_iter", str(args.iters),
         # one held-out validation pass at the very end
         "--val_freq", str(args.iters - 1),
         "--ckp_freq", "1000000", "--log_freq", "200",
@@ -162,7 +186,7 @@ def main():
 
     if args.one_arm:
         tag = args.one_arm
-        log_root = os.path.join(root, "logs_" + tag)
+        log_root = _arm_log_root(root, tag, _gate_cfg(args))
         print(f"=== {tag} ===", flush=True)
         train_rnr.main(common + ["--logging_root", log_root]
                        + ABLATIONS[tag])
@@ -173,9 +197,10 @@ def main():
 
     import subprocess
 
+    gate_cfg = _gate_cfg(args)
     results = {}
     for tag in args.ablations.split(","):
-        log_root = os.path.join(root, "logs_" + tag)
+        log_root = _arm_log_root(root, tag, gate_cfg)
         if _latest_summary(log_root) is None:
             # fresh process per arm: one leaking/crashing arm cannot
             # take down the others, and host RSS resets between arms
