@@ -61,6 +61,13 @@ class RaysConfig:
     # (ops/sh_pallas.py, exact same ladder/convention as the XLA path,
     # rays_color never materializes); "xla" = checkpointed lax.map scan
     sh_kernel: str = "auto"
+    # Fuse the ray-fan construction (reflect around pivots + TBN
+    # transform + normalize, reference network.py:445-472) INTO the SH
+    # shading kernel: the kernel reads TBN/view-dir (12 floats/pixel)
+    # instead of the materialized [N,H,W,3,R] ray tensor (78), computes
+    # the fan in f32 in VMEM, and skips both [N,R,3,H,W] transposes.
+    # rays_dir is still built once in XLA for the U-Net input channels.
+    sh_fan_fuse: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -249,6 +249,7 @@ def ray_render_sh(
     separate_albedo: bool = False,
     lp_scale_factor: float = 1.0,
     backend: str = "auto",
+    fan_inputs: tuple[jax.Array, jax.Array, jax.Array] | None = None,
 ):
     """SH-direct ray composition: shade rays straight from SH coefficients.
 
@@ -269,6 +270,11 @@ def ray_render_sh(
       rays_lt: [N, H, W, R, C].
       sh_coeff: [B, C] coefficients of the active lighting.
       sh_lmax: SH degree (static).
+      fan_inputs: optional (tbn [N,H,W,3,3], view_dir_tangent [N,H,W,3],
+        pivots [R,3]) — when given and the Pallas path is active, the
+        kernel constructs the ray fan itself (sh_shade_fan) and never
+        reads `rays_dir` (VERDICT r4 item 7; reference fan math
+        network.py:445-472).
 
     Returns the same dict as `ray_render` (lp is the coeff here).
     """
@@ -301,12 +307,23 @@ def ray_render_sh(
                 mesh, rays_dir.shape, ("dp", "sp", None, None, None)):
             use_kernel = False
     if use_kernel:
-        from rnr_tpu.ops.sh_pallas import sh_shade
+        if fan_inputs is not None:
+            from rnr_tpu.ops.sh_pallas import sh_shade_fan
 
-        ltt_specular, ltt_diffuse = sh_shade(
-            rays_dir, rays_lt, alpha_map, coeff, sh_lmax, r_spec,
-            pallas_interpret(backend),
-        )
+            tbn, vdt, pivots = fan_inputs
+            ltt_specular, ltt_diffuse = sh_shade_fan(
+                jax.lax.stop_gradient(tbn),
+                jax.lax.stop_gradient(vdt),
+                alpha_map, rays_lt, coeff, pivots, sh_lmax, r_spec,
+                pallas_interpret(backend),
+            )
+        else:
+            from rnr_tpu.ops.sh_pallas import sh_shade
+
+            ltt_specular, ltt_diffuse = sh_shade(
+                rays_dir, rays_lt, alpha_map, coeff, sh_lmax, r_spec,
+                pallas_interpret(backend),
+            )
         out_specular = (
             ltt_specular if no_albedo else albedo_specular * ltt_specular
         )

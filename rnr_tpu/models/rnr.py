@@ -226,6 +226,20 @@ class RNRModel(nn.Module):
                 if sh_coeff_override is not None
                 else self.lighting.get_lighting_params(lighting_idx)
             )
+            fan_inputs = None
+            if c.rays.sh_fan_fuse:
+                # fan pivots: specular fan first, then diffuse (matching
+                # the rays_dir concatenation above)
+                pivots = jnp.asarray(
+                    np.concatenate(
+                        [self.ray_sampler.pivots_dir.T,
+                         self.ray_sampler_diffuse.pivots_dir.T], axis=0
+                    ).astype(np.float32)
+                )
+                fan_inputs = (
+                    batch["TBN_map"], batch["view_dir_map_tangent"],
+                    pivots,
+                )
             rendered = ray_render_sh(
                 albedo_specular,
                 rays_dir,
@@ -237,6 +251,7 @@ class RNRModel(nn.Module):
                 albedo_diffuse=albedo_diffuse,
                 separate_albedo=True,
                 backend=c.rays.sh_kernel,
+                fan_inputs=fan_inputs,
             )
         else:
             if lp_override is None:

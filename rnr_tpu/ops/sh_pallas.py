@@ -410,3 +410,369 @@ def _sh_shade_bwd(lmax, r_spec, interpret, res, g):
 
 
 sh_shade.defvjp(_sh_shade_fwd, _sh_shade_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fan-fused variant: ray construction inside the kernel
+# ---------------------------------------------------------------------------
+#
+# The ray fan (reference network.py:445-472: reflect the tangent-space
+# view dir around each pivot, transform by TBN, normalize) is pure
+# per-pixel vector math — ~40 VPU flops/ray, trivial next to the 121-term
+# SH ladder.  Reading TBN (9) + view_dir_tangent (3) per pixel instead of
+# the materialized rays_dir (3*R = 78) cuts the kernel's input bandwidth
+# ~6x per pass and removes both [N,R,3,H,W] transposes from the step
+# (VERDICT r4 item 7).  rays_dir itself is still built once in XLA for
+# the U-Net's input channels; it just never round-trips into shading.
+
+
+def _fan_ray(tb, vx, vy, vz, alpha, px, py, pz, is_spec):
+    """One world-space fan ray on [TH, W] planes.
+
+    Mirrors models/rays.py exactly: specular t = normalize(2(v.p)p - v)
+    * alpha (cameras.get_reflect_dir + the alpha mask), diffuse t = p;
+    world = TBN @ t; world /= max(|world|, 1e-12).
+    """
+    dot = vx * px + vy * py + vz * pz
+    rx = 2.0 * dot * px - vx
+    ry = 2.0 * dot * py - vy
+    rz = 2.0 * dot * pz - vz
+    inv = 1.0 / jnp.maximum(
+        jnp.sqrt(rx * rx + ry * ry + rz * rz), 1e-12
+    )
+    ia = inv * alpha
+    tx = jnp.where(is_spec, rx * ia, px)
+    ty = jnp.where(is_spec, ry * ia, py)
+    tz = jnp.where(is_spec, rz * ia, pz)
+    wx = tb[0] * tx + tb[1] * ty + tb[2] * tz
+    wy = tb[3] * tx + tb[4] * ty + tb[5] * tz
+    wz = tb[6] * tx + tb[7] * ty + tb[8] * tz
+    inv_w = 1.0 / jnp.maximum(
+        jnp.sqrt(wx * wx + wy * wy + wz * wz), 1e-12
+    )
+    return wx * inv_w, wy * inv_w, wz * inv_w
+
+
+def _fwd_kernel_fan(lmax, r_total, r_spec, c, th, w, out_dtype):
+    nb = num_sh_basis(lmax)
+    r_diff = r_total - r_spec
+
+    def kernel(tb_ref, vd_ref, al_ref, rl_ref, pv_ref, cf_ref,
+               spec_ref, diff_ref, bs):
+        alpha = al_ref[0, 0].astype(jnp.float32)           # [TH, W]
+        tb = [tb_ref[0, i, j].astype(jnp.float32)
+              for i in range(3) for j in range(3)]
+        vx = vd_ref[0, 0].astype(jnp.float32)
+        vy = vd_ref[0, 1].astype(jnp.float32)
+        vz = vd_ref[0, 2].astype(jnp.float32)
+
+        def body(r, carry):
+            acc_s, acc_d = carry
+            px, py, pz = pv_ref[r, 0], pv_ref[r, 1], pv_ref[r, 2]
+            x, y, z = _fan_ray(tb, vx, vy, vz, alpha, px, py, pz,
+                               r < r_spec)
+
+            def store(idx, plane):
+                bs[idx] = plane
+
+            _emit_basis(x, y, z, lmax, store)
+            rad = jax.lax.dot_general(
+                cf_ref[...], bs[0:nb].reshape(nb, th * w),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(c, th, w) * alpha[None]
+            lt = rl_ref[0, r].astype(jnp.float32)          # [C, TH, W]
+            contrib = lt * rad
+            is_spec = (r < r_spec).astype(jnp.float32)
+            acc_s = acc_s + contrib * (is_spec / r_spec)
+            acc_d = acc_d + contrib * ((1.0 - is_spec) / max(r_diff, 1))
+            return acc_s, acc_d
+
+        init = (jnp.zeros((c, th, w), jnp.float32),
+                jnp.zeros((c, th, w), jnp.float32))
+        acc_s, acc_d = jax.lax.fori_loop(0, r_total, body, init)
+        spec_ref[0] = acc_s.astype(out_dtype)
+        diff_ref[0] = acc_d.astype(out_dtype)
+
+    return kernel
+
+
+def _bwd_kernel_fan(lmax, r_total, r_spec, c, th, w, lt_dtype,
+                    partials=False):
+    nb = num_sh_basis(lmax)
+    r_diff = r_total - r_spec
+
+    def kernel(tb_ref, vd_ref, al_ref, rl_ref, pv_ref, cf_ref,
+               gs_ref, gd_ref, dlt_ref, dcf_ref, bs):
+        if not partials:
+            i = pl.program_id(1)
+            n = pl.program_id(0)
+            first = (i == 0) & (n == 0)
+
+            @pl.when(first)
+            def _():
+                dcf_ref[...] = jnp.zeros_like(dcf_ref)
+
+        alpha = al_ref[0, 0].astype(jnp.float32)
+        tb = [tb_ref[0, i, j].astype(jnp.float32)
+              for i in range(3) for j in range(3)]
+        vx = vd_ref[0, 0].astype(jnp.float32)
+        vy = vd_ref[0, 1].astype(jnp.float32)
+        vz = vd_ref[0, 2].astype(jnp.float32)
+        gs = gs_ref[0].astype(jnp.float32)                 # [C, TH, W]
+        gd = gd_ref[0].astype(jnp.float32)
+
+        def body(r, dcf_acc):
+            px, py, pz = pv_ref[r, 0], pv_ref[r, 1], pv_ref[r, 2]
+            x, y, z = _fan_ray(tb, vx, vy, vz, alpha, px, py, pz,
+                               r < r_spec)
+
+            def store(idx, plane):
+                bs[idx] = plane
+
+            _emit_basis(x, y, z, lmax, store)
+            bsv = bs[0:nb].reshape(nb, th * w)
+            rad = jax.lax.dot_general(
+                cf_ref[...], bsv,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(c, th, w)
+            is_spec = (r < r_spec).astype(jnp.float32)
+            gsel = (gs * (is_spec / r_spec)
+                    + gd * ((1.0 - is_spec) / max(r_diff, 1))) * alpha[None]
+            dlt_ref[0, r] = (rad * gsel).astype(lt_dtype)
+            ltg = (rl_ref[0, r].astype(jnp.float32) * gsel)
+            dcf_acc = dcf_acc + jax.lax.dot_general(
+                bsv, ltg.reshape(c, th * w),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return dcf_acc
+
+        dcf = jax.lax.fori_loop(
+            0, r_total, body, jnp.zeros((nb, c), jnp.float32)
+        )
+        if partials:
+            dcf_ref[0, 0] = dcf
+        else:
+            dcf_ref[...] = dcf_ref[...] + dcf
+
+    return kernel
+
+
+def _pick_th_sh_fan(h, w, r_total, c, lmax, lt_bytes, bwd):
+    """Row tile for the fan-fused kernels (same budgeting discipline as
+    _pick_th_sh; the rays_dir block is replaced by TBN+view-dir f32
+    planes: 12 floats/pixel instead of 3*R ray-dtype values)."""
+    nb_pad = _round8(num_sh_basis(lmax))
+    for th in (32, 16, 8, 4, 2, 1):
+        if h % th:
+            continue
+        io = (9 + 3) * 4                   # TBN + view_dir_tangent (f32)
+        io += r_total * c * lt_bytes       # rays_lt block
+        io += 4                            # alpha block (f32)
+        if bwd:
+            io += 2 * c * 4                # gs, gd cotangents (f32)
+            io += r_total * c * lt_bytes   # dlt output block
+        else:
+            io += 2 * c * 4                # spec, diff outputs (f32)
+        vmem = 2 * io * th * w             # double-buffered pipeline
+        vmem += nb_pad * th * w * 4        # basis scratch (single copy)
+        if vmem <= 14 * 1024 * 1024:
+            return th
+    return 1
+
+
+@partial(jax.jit, static_argnames=("lmax", "r_spec", "interpret"))
+def _sh_shade_fan_impl(tb_t, vd_t, al_t, rl_t, pivots, coeff, lmax,
+                       r_spec, interpret):
+    """tb_t [N,3,3,H,W], vd_t [N,3,H,W], al_t [N,1,H,W],
+    rl_t [N,R,C,H,W], pivots [R,3] (SMEM), coeff [B,C]."""
+    n, r_total, c, h, w = rl_t.shape
+    th = _pick_th_sh_fan(h, w, r_total, c, lmax, rl_t.dtype.itemsize,
+                         False)
+    kernel = _fwd_kernel_fan(lmax, r_total, r_spec, c, th, w, jnp.float32)
+    spec, diff = pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec((1, 3, 3, th, w), lambda nn, i: (nn, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_total, c, th, w),
+                         lambda nn, i: (nn, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_round8(num_sh_basis(lmax)), th, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tb_t, vd_t, al_t, rl_t, pivots.astype(jnp.float32),
+      coeff.astype(jnp.float32))
+    return spec, diff
+
+
+@partial(jax.jit,
+         static_argnames=("lmax", "r_spec", "interpret", "variant"))
+def _sh_shade_fan_bwd_impl(tb_t, vd_t, al_t, rl_t, pivots, coeff, gs_t,
+                           gd_t, lmax, r_spec, interpret,
+                           variant="partials"):
+    n, r_total, c, h, w = rl_t.shape
+    th = _pick_th_sh_fan(h, w, r_total, c, lmax, rl_t.dtype.itemsize,
+                         True)
+    partials = variant == "partials"
+    kernel = _bwd_kernel_fan(lmax, r_total, r_spec, c, th, w, rl_t.dtype,
+                             partials=partials)
+    nb = num_sh_basis(lmax)
+    if partials:
+        dcf_spec = pl.BlockSpec((1, 1, nb, c), lambda nn, i: (nn, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        dcf_shape = jax.ShapeDtypeStruct((n, h // th, nb, c), jnp.float32)
+    else:
+        dcf_spec = pl.BlockSpec((nb, c), lambda nn, i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        dcf_shape = jax.ShapeDtypeStruct((nb, c), jnp.float32)
+    dlt, dcf = pl.pallas_call(
+        kernel,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec((1, 3, 3, th, w), lambda nn, i: (nn, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_total, c, th, w),
+                         lambda nn, i: (nn, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, th, w), lambda nn, i: (nn, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r_total, c, th, w),
+                         lambda nn, i: (nn, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            dcf_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, r_total, c, h, w), rl_t.dtype),
+            dcf_shape,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_round8(nb), th, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tb_t, vd_t, al_t, rl_t, pivots.astype(jnp.float32),
+      coeff.astype(jnp.float32), gs_t, gd_t)
+    if partials:
+        dcf = dcf.sum(axis=(0, 1))
+    return dlt, dcf
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def sh_shade_fan(tbn, view_dir_tangent, alpha_map, rays_lt, coeff,
+                 pivots, lmax, r_spec, interpret=False):
+    """Fan-fused SH shading: fan construction + ladder + reduction in VMEM.
+
+    Args:
+      tbn: [N, H, W, 3, 3] tangent->world frames (G-buffer, no grad).
+      view_dir_tangent: [N, H, W, 3] (G-buffer, no grad).
+      alpha_map: [N, H, W, 1].
+      rays_lt: [N, H, W, R, C] light transport.
+      coeff: [B, C] SH coefficients.
+      pivots: [R, 3] fan pivot directions (spec fan first, then diffuse;
+        constants from RaySampler.pivots_dir).
+      lmax, r_spec: static.
+
+    Returns (ltt_specular, ltt_diffuse) [N, H, W, C] f32.  Numerics: the
+    fan is computed in f32 (the rays_dir-materializing path quantizes
+    directions to rays_dtype first) — equal-or-better precision.
+    """
+    from rnr_tpu.ops.shmap import row_shard_map
+
+    tb_t = jnp.transpose(tbn, (0, 3, 4, 1, 2))
+    vd_t = jnp.transpose(view_dir_tangent, (0, 3, 1, 2))
+    al_t = jnp.transpose(alpha_map, (0, 3, 1, 2))
+    rl_t = jnp.transpose(rays_lt, (0, 3, 4, 1, 2))
+    impl = row_shard_map(
+        partial(_sh_shade_fan_impl, lmax=lmax, r_spec=r_spec,
+                interpret=interpret),
+        in_specs=[("dp", None, None, "sp", None),
+                  ("dp", None, "sp", None),
+                  ("dp", None, "sp", None),
+                  ("dp", None, None, "sp", None),
+                  (None, None),
+                  (None, None)],
+        out_specs=[("dp", None, "sp", None), ("dp", None, "sp", None)],
+    )
+    spec, diff = impl(tb_t, vd_t, al_t, rl_t,
+                      pivots.astype(jnp.float32),
+                      coeff.astype(jnp.float32))
+    return (jnp.transpose(spec, (0, 2, 3, 1)),
+            jnp.transpose(diff, (0, 2, 3, 1)))
+
+
+def _sh_shade_fan_fwd(tbn, view_dir_tangent, alpha_map, rays_lt, coeff,
+                      pivots, lmax, r_spec, interpret):
+    out = sh_shade_fan(tbn, view_dir_tangent, alpha_map, rays_lt, coeff,
+                       pivots, lmax, r_spec, interpret)
+    return out, (tbn, view_dir_tangent, alpha_map, rays_lt, coeff, pivots)
+
+
+def _sh_shade_fan_bwd(lmax, r_spec, interpret, res, g):
+    tbn, view_dir_tangent, alpha_map, rays_lt, coeff, pivots = res
+    gs, gd = g
+    tb_t = jnp.transpose(tbn, (0, 3, 4, 1, 2))
+    vd_t = jnp.transpose(view_dir_tangent, (0, 3, 1, 2))
+    al_t = jnp.transpose(alpha_map, (0, 3, 1, 2))
+    rl_t = jnp.transpose(rays_lt, (0, 3, 4, 1, 2))
+    gs_t = jnp.transpose(gs.astype(jnp.float32), (0, 3, 1, 2))
+    gd_t = jnp.transpose(gd.astype(jnp.float32), (0, 3, 1, 2))
+    import os
+
+    from rnr_tpu.ops.shmap import row_shard_map
+
+    bwd_impl = row_shard_map(
+        partial(_sh_shade_fan_bwd_impl, lmax=lmax, r_spec=r_spec,
+                interpret=interpret,
+                variant=os.environ.get("RNR_SH_BWD", "partials")),
+        in_specs=[("dp", None, None, "sp", None),
+                  ("dp", None, "sp", None),
+                  ("dp", None, "sp", None),
+                  ("dp", None, None, "sp", None),
+                  (None, None),
+                  (None, None),
+                  ("dp", None, "sp", None),
+                  ("dp", None, "sp", None)],
+        out_specs=[("dp", None, None, "sp", None), (None, None)],
+        reduce_axes=("dp", "sp"),
+    )
+    dlt_t, dcf = bwd_impl(tb_t, vd_t, al_t, rl_t,
+                          pivots.astype(jnp.float32),
+                          coeff.astype(jnp.float32), gs_t, gd_t)
+    dlt = jnp.transpose(dlt_t, (0, 3, 4, 1, 2))
+    return (jnp.zeros_like(tbn), jnp.zeros_like(view_dir_tangent),
+            jnp.zeros_like(alpha_map), dlt.astype(rays_lt.dtype),
+            dcf.astype(coeff.dtype), jnp.zeros_like(pivots))
+
+
+sh_shade_fan.defvjp(_sh_shade_fan_fwd, _sh_shade_fan_bwd)

@@ -70,3 +70,17 @@ def test_corrupt_file_falls_back(bench_mod):
         f.write("{not json")
     got = mod.resolve_tuned_config()
     assert got["conv_backend"] == "xla"
+
+
+def test_readme_perf_table_matches_artifacts():
+    """VERDICT r4 item 6: the README performance block is rendered from
+    BENCH_r*/KERNELS_r*/tools/out artifacts; drift is a failure."""
+    import subprocess, sys, os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools",
+                                      "render_perf_tables.py"), "--check"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr + r.stdout

@@ -132,3 +132,130 @@ def test_vmem_budget_tile_picks():
     assert _pick_th_sh(512, 512, 26, 3, 10, 4, True) <= 8
     # bf16 at 512^2 keeps the round-3-measured tile (perf comparability)
     assert _pick_th_sh(512, 512, 26, 3, 10, 2, True) == 16
+
+
+def _fan_data(n=1, h=16, w=16, seed=5, num_azi=2, num_polar=1):
+    """Random tangent frames + view dirs + the exact model fan
+    composition (models/rnr.py): spec fan then diffuse fan."""
+    from rnr_tpu.models.rays import RaySampler
+
+    rng = np.random.default_rng(seed)
+    # random orthonormal TBN frames (QR of random 3x3, det fixed +1)
+    m = rng.standard_normal((n, h, w, 3, 3))
+    q, _ = np.linalg.qr(m)
+    tbn = q.astype(np.float32)
+    vdt = rng.standard_normal((n, h, w, 3)).astype(np.float32)
+    vdt /= np.linalg.norm(vdt, axis=-1, keepdims=True)
+    alpha = (rng.uniform(size=(n, h, w, 1)) > 0.3).astype(np.float32)
+    lt = rng.uniform(0, 2, (n, h, w, 0, C)).astype(np.float32)
+    coeff = rng.standard_normal(((LMAX + 1) ** 2, C)).astype(np.float32)
+
+    spec = RaySampler(num_azi=num_azi, num_polar=num_polar,
+                      interval_polar=5.0, mode="reflect")
+    diff = RaySampler(num_azi=num_azi, num_polar=num_polar,
+                      interval_polar=10.0, mode="diffuse")
+    tbn_j, vdt_j, alpha_j = (jnp.asarray(tbn), jnp.asarray(vdt),
+                             jnp.asarray(alpha))
+    rd_s, _, _ = spec(tbn_j, vdt_j, alpha_j, with_uv=False)
+    rd_d, _, _ = diff(tbn_j, vdt_j, alpha_j, with_uv=False)
+    rays_dir = jnp.concatenate([rd_s, rd_d], axis=-1)
+    r_total = rays_dir.shape[-1]
+    lt = rng.uniform(0, 2, (n, h, w, r_total, C)).astype(np.float32)
+    pivots = jnp.asarray(
+        np.concatenate([spec.pivots_dir.T, diff.pivots_dir.T], axis=0)
+        .astype(np.float32))
+    return (tbn_j, vdt_j, alpha_j, jnp.asarray(lt),
+            jnp.asarray(coeff), pivots, rays_dir, spec.num_ray)
+
+
+def test_fan_fused_forward_parity():
+    """sh_shade_fan (interpret) == sh_shade on the XLA-composed fan:
+    the in-kernel reflect/TBN/normalize reproduces models/rays.py."""
+    from rnr_tpu.ops.sh_pallas import sh_shade_fan
+
+    (tbn, vdt, alpha, lt, coeff, pivots, rays_dir,
+     r_spec) = _fan_data()
+    s_f, d_f = sh_shade_fan(tbn, vdt, alpha, lt, coeff, pivots,
+                            LMAX, r_spec, True)
+    s_r, d_r = sh_shade(rays_dir, lt, alpha, coeff, LMAX, r_spec, True)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_r),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_r),
+                               rtol=0, atol=1e-4)
+
+
+def test_fan_fused_gradient_parity():
+    from rnr_tpu.ops.sh_pallas import sh_shade_fan
+
+    (tbn, vdt, alpha, lt, coeff, pivots, rays_dir,
+     r_spec) = _fan_data(seed=6)
+    rng = np.random.default_rng(9)
+    cs = jnp.asarray(
+        rng.standard_normal((1, 16, 16, C)).astype(np.float32))
+    cd = jnp.asarray(
+        rng.standard_normal((1, 16, 16, C)).astype(np.float32))
+
+    def loss_fan(lt, coeff):
+        s, f = sh_shade_fan(tbn, vdt, alpha, lt, coeff, pivots,
+                            LMAX, r_spec, True)
+        return jnp.sum(s * cs) + jnp.sum(f * cd)
+
+    def loss_base(lt, coeff):
+        s, f = sh_shade(rays_dir, lt, alpha, coeff, LMAX, r_spec, True)
+        return jnp.sum(s * cs) + jnp.sum(f * cd)
+
+    gf = jax.grad(loss_fan, argnums=(0, 1))(lt, coeff)
+    gb = jax.grad(loss_base, argnums=(0, 1))(lt, coeff)
+    for a, e, name in zip(gf, gb, ("d_rays_lt", "d_coeff")):
+        scale = np.abs(np.asarray(e)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(e) / scale,
+            rtol=0, atol=1e-4, err_msg=name,
+        )
+
+
+def test_ray_render_sh_fan_inputs_parity():
+    """The fan_inputs fast path through ray_render_sh matches the
+    rays_dir path output-dict for key."""
+    from rnr_tpu.models.rays import ray_render_sh
+
+    (tbn, vdt, alpha, lt, coeff, pivots, rays_dir,
+     r_spec) = _fan_data(seed=7)
+    alb = jnp.asarray(
+        np.random.default_rng(4).uniform(0, 1, (1, 16, 16, 3))
+        .astype(np.float32))
+    kw = dict(num_ray_diffuse=rays_dir.shape[-1] - r_spec,
+              albedo_diffuse=alb, separate_albedo=True)
+    a = ray_render_sh(alb, rays_dir, alpha, lt, coeff, LMAX,
+                      backend="pallas_interpret",
+                      fan_inputs=(tbn, vdt, pivots), **kw)
+    b = ray_render_sh(alb, rays_dir, alpha, lt, coeff, LMAX,
+                      backend="xla", **kw)
+    for k in ("out", "out_specular", "out_diffuse", "ltt_specular_map",
+              "ltt_diffuse_map"):
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=0, atol=1e-4,
+            err_msg=k,
+        )
+
+
+def test_fan_vmem_budget_tile_picks():
+    """Fan-fused kernels' scoped-VMEM budget at shipped shapes."""
+    from rnr_tpu.ops.sh_pallas import _pick_th_sh_fan, _round8
+
+    def worst_case_bytes(th, w, lt_bytes, bwd):
+        r_total, c = 26, 3
+        io = 12 * 4 + r_total * c * lt_bytes + 4
+        io += (2 * c * 4 + r_total * c * lt_bytes) if bwd else 2 * c * 4
+        return 2 * io * th * w + _round8(num_sh_basis(10)) * th * w * 4
+
+    from rnr_tpu.ops.sh import num_sh_basis
+
+    for lt_bytes in (2, 4):
+        for w in (128, 512, 1024):
+            for bwd in (False, True):
+                th = _pick_th_sh_fan(w, w, 26, 3, 10, lt_bytes, bwd)
+                assert w % th == 0
+                used = worst_case_bytes(th, w, lt_bytes, bwd)
+                assert used <= 14 * 1024 * 1024, (
+                    lt_bytes, w, bwd, th, used)

@@ -1,0 +1,172 @@
+"""Render the README performance table from machine artifacts.
+
+VERDICT r4 item 6: hand-copied prose numbers drifted from the canonical
+artifacts every round.  This script renders the README's performance
+block from `BENCH_r{N}.json` + `KERNELS_r{N}.json` + the newest
+`tools/out/tpu_bench_r*.json` — and `--check` asserts the committed
+README matches byte-for-byte (wired into tests/test_bench_config.py),
+so a stale number is a test failure.
+
+Usage:
+  python tools/render_perf_tables.py           # rewrite README in place
+  python tools/render_perf_tables.py --check   # exit 1 on drift
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN = "<!-- BEGIN AUTOGEN:PERF (tools/render_perf_tables.py) -->"
+END = "<!-- END AUTOGEN:PERF -->"
+
+
+def _newest(pattern):
+    paths = sorted(glob.glob(os.path.join(ROOT, pattern)))
+    return paths[-1] if paths else None
+
+
+def _load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def render() -> str:
+    bench_paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    bench = _load(bench_paths[-1])["parsed"]
+    prev = (_load(bench_paths[-2])["parsed"]
+            if len(bench_paths) > 1 else None)
+    rnd = int(re.search(r"BENCH_r(\d+)", bench_paths[-1]).group(1))
+    kern = _load(_newest("KERNELS_r*.json"))["gates"]
+    tb = _load(_newest("tools/out/tpu_bench_r*.json"))
+
+    ex = bench["extras"]
+    pex = prev["extras"] if prev else {}
+
+    def fps_ms(fps):
+        return f"**{fps:.2f} frames/s** ({1000.0 / fps:.1f} ms)"
+
+    b4 = None
+    for k, v in tb.get("batch", {}).items():
+        if k.startswith("b4"):
+            b4 = v["fps"]
+
+    rows = []
+    rows.append((
+        "Full RNR train step (fwd+bwd), batch 1",
+        f"{fps_ms(bench['value'])} — {bench['vs_baseline']:.2f}x the "
+        f"round-1 anchor",
+        f"{prev['value']:.2f} frames/s" if prev else "—",
+    ))
+    b2 = ex.get("train_b2_frames_per_s")
+    rows.append((
+        "batch 2 / batch 4 (`--unet_remat wide` at b4)",
+        f"**{b2:.2f}" + (f" / {b4:.2f}" if b4 else "") + " frames/s**",
+        (f"{pex.get('train_b2_frames_per_s'):.2f}"
+         if pex.get("train_b2_frames_per_s") else "—"),
+    ))
+    rows.append((
+        "Inference (eval step, v_feature cached across the sequence)",
+        f"**{ex['infer_frames_per_s']:.2f} frames/s** "
+        f"({ex['infer_rays_per_s'] / 1e6:.1f}M rays/s)",
+        (f"{pex.get('infer_frames_per_s'):.2f}"
+         if pex.get("infer_frames_per_s") else "—"),
+    ))
+    ro = kern.get("rasterize_opt_diff")
+    if ro:
+        rows.append((
+            "Differentiable rasterization `rasterize_opt` "
+            "(512^2, 12k faces, rgb+alpha coverage grads)",
+            f"fwd **{ro['fwd_ms']:.1f} ms**, fwd+bwd "
+            f"**{ro['fwdbwd_ms']:.1f} ms**",
+            "41.6 / 145.9 (r3)",
+        ))
+    rp = kern.get("rasterize_pallas")
+    if rp:
+        rows.append((
+            "Pallas tile-binned rasterization (12k-face mesh)",
+            f"**{rp['ms']:.1f} ms** "
+            f"({rp['xla_oracle_ms'] / rp['ms']:.1f}x vs the XLA scan "
+            f"oracle, face agreement {rp['face_index_agreement']:.5f})",
+            "22.2 (r3)",
+        ))
+    gb = kern.get("render_gbuffer")
+    if gb:
+        rows.append((
+            "Fused G-buffer render (14 maps)",
+            f"{gb['ms']:.1f} ms",
+            "44.1 (r3)",
+        ))
+    sh = kern.get("sh_shade")
+    if sh:
+        rows.append((
+            "Fused Pallas SH shading (512^2 x 26 rays)",
+            f"fwd+bwd **{sh['fwdbwd_ms']:.1f} ms vs "
+            f"{sh['xla_fwdbwd_ms']:.1f} XLA** in-gate "
+            f"(grad parity {sh['grad_rel_err']:.1e})",
+            "fwd 28.8 (r3)",
+        ))
+    if ex.get("train_1024_frames_per_s"):
+        rows.append((
+            "1024x1024 (4x pixels, same model)",
+            f"**{ex['train_1024_frames_per_s']:.2f} train / "
+            f"{ex['infer_1024_frames_per_s']:.2f} infer frames/s**",
+            (f"{pex.get('train_1024_frames_per_s'):.2f} / "
+             f"{pex.get('infer_1024_frames_per_s'):.2f}"
+             if pex.get("train_1024_frames_per_s") else "—"),
+        ))
+
+    hdr = ("| Measurement (512x512, canonical config: tex 512/24ch/4mip, "
+           "SH lmax 10, 26 rays, U-Net nf0 64x5, GCN 20 blocks k=16 on "
+           f"7500 verts) | Round {rnd} | Prior |")
+    lines = [
+        BEGIN,
+        f"Source artifacts: `{os.path.basename(bench_paths[-1])}` "
+        f"(canonical headline), `{os.path.basename(_newest('KERNELS_r*.json'))}` "
+        f"(kernel gates, all_pass="
+        f"{str(_load(_newest('KERNELS_r*.json'))['all_pass']).lower()}), "
+        f"`tools/out/{os.path.basename(_newest('tools/out/tpu_bench_r*.json'))}` "
+        f"(A/B cells).  Regenerate with `python tools/render_perf_tables.py`.",
+        "",
+        hdr,
+        "|---|---|---|",
+    ]
+    for a, b, c in rows:
+        lines.append(f"| {a} | {b} | {c} |")
+    lines.append(END)
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+    readme = os.path.join(ROOT, "README.md")
+    with open(readme) as f:
+        text = f.read()
+    if BEGIN not in text or END not in text:
+        print("README.md is missing the AUTOGEN:PERF markers", file=sys.stderr)
+        sys.exit(2)
+    block = render()
+    pattern = re.compile(re.escape(BEGIN) + r".*?" + re.escape(END),
+                         re.DOTALL)
+    new_text = pattern.sub(lambda _: block, text)
+    if args.check:
+        if new_text != text:
+            print("README perf table is stale vs artifacts — run "
+                  "python tools/render_perf_tables.py", file=sys.stderr)
+            sys.exit(1)
+        print("README perf table matches artifacts")
+        return
+    with open(readme, "w") as f:
+        f.write(new_text)
+    print("README perf table rendered")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,15 @@ def main() -> None:
     p.add_argument("--virtual", default=True,
                    type=lambda x: str(x).lower() in ["true", "1"],
                    help="force an 8-device virtual CPU platform")
+    # canonical benchmark shapes (512^2, tex 512, lmax 10, nf0 64, GCN
+    # 20xk16 on 7.5k verts): the collective bytes the ICI-efficiency
+    # target is about (BASELINE.md:42) — combine with --lower_only on
+    # the virtual mesh, where executing at this scale is pointless
+    p.add_argument("--canonical", action="store_true")
+    p.add_argument("--lower_only", action="store_true",
+                   help="skip execution; emit per-step collective bytes "
+                        "+ the ICI time model only")
+    p.add_argument("--out", type=str, default=None)
     opt = p.parse_args()
     counts = [int(c) for c in opt.devices.split(",")]
 
