@@ -93,13 +93,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"],
                    help="U-Net conv compute dtype (params stay f32)")
     p.add_argument("--unet_conv_backend", default="auto",
-                   choices=["auto", "xla", "pallas", "pallas3",
+                   choices=["auto", "xla", "pallas", "pallas3", "slab3",
                             "pallas_interpret"],
                    help="U-Net conv backend (pallas = the fused "
                         "implicit-GEMM kernels for 3x3 AND the 4x4 "
                         "stride-2 pair; pallas3 = Pallas 3x3 only, XLA "
                         "4x4 — the 3x3 kernel beats the XLA emitter "
-                        "~25%% in isolation, convdot_probe_r4)")
+                        "~25%% in isolation, convdot_probe_r4; slab3 = "
+                        "the row-im2col slab 3x3 kernel, one full-"
+                        "occupancy [3C x 3O] dot per tile)")
     p.add_argument("--unet_pad_mode", default="reflect",
                    choices=["reflect", "same"],
                    help="U-Net conv padding: reflect = reference parity; "

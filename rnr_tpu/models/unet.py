@@ -87,7 +87,11 @@ class Conv(nn.Module):
         # 4x4 parity-plane pair loses to XLA's stride-2 convs.  "auto"
         # therefore means pallas3 on TPU, xla elsewhere.
         from rnr_tpu.ops.backend import is_tpu_backend
-        pallas3_only = self.backend == "pallas3" or (
+        # "slab3": the row-im2col slab kernel (one [TH*W, 3C] @ [3C, 3O]
+        # dot per tile — full MXU occupancy at C=O=64) for 3x3 stride-1,
+        # XLA for the 4x4 pair; candidate replacement for pallas3.
+        slab3_only = self.backend == "slab3"
+        pallas3_only = slab3_only or self.backend == "pallas3" or (
             self.backend == "auto" and is_tpu_backend()
         )
         pallas_on = pallas3_only or (
@@ -95,12 +99,13 @@ class Conv(nn.Module):
         )
         interp = pallas_interpret(self.backend)
         if pallas_on and k == 3 and self.stride == 1:
-            from rnr_tpu.ops.conv_pallas import conv3x3
+            from rnr_tpu.ops.conv_pallas import conv3x3, conv3x3s
 
             b = bias if bias is not None else jnp.zeros(
                 (self.features,), jnp.float32
             )
-            return conv3x3(x, kernel, b, self.pad_mode, False, 0.2, interp)
+            op = conv3x3s if slab3_only else conv3x3
+            return op(x, kernel, b, self.pad_mode, False, 0.2, interp)
         if pallas_on and not pallas3_only and k == 4 and self.stride == 2:
             from rnr_tpu.ops.conv_pallas import down4
 

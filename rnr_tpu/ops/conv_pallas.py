@@ -807,3 +807,267 @@ def _convt4_bwd(interpret, res, g):
 
 
 convt4.defvjp(_convt4_fwd, _convt4_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Slab conv: row-im2col in XLA + ONE wide dot per tile
+# ---------------------------------------------------------------------------
+#
+# The tap-wise kernel above runs 9 dots of [M, C] @ [C, O] per tile —
+# K = C and N = O, which at the U-Net's level-0 shapes (C = O = 64)
+# half-fills both MXU dimensions (the round-4 "conv wall").  This
+# variant restores full occupancy structurally:
+#
+#   * XLA materializes a ROW im2col slab [N, H, W+2, 3C] (three
+#     row-shifted copies of the padded input concatenated on channels —
+#     lane concatenation is legal in XLA, just not inside Mosaic).  HBM
+#     cost: ~3x the activation bytes, ~0.2 ms at 512^2/C64 against HBM
+#     bandwidth.
+#   * the kernel runs ONE dot per row tile: [TH*WPA, 3C] @ [3C, 3O],
+#     where the weight matrix packs all 9 taps ([dy*C+c, dx*O+o] =
+#     w[dy, dx, c, o]); the dx column shift lands on OUTPUT slices
+#     (acc += yfull[:, dx:dx+W, dx*O:(dx+1)*O]) exactly like the
+#     tap-wise kernel — K = 3C, N = 3O (192x192 at level 0).
+#   * the weight gradient becomes one dot per tile too:
+#     dWcat [3C, 3O] = slab^T @ g3, with g3 [N, H, W+2, 3O] the
+#     column-shifted copies of the cotangent built in XLA.
+#
+# Channel extents are zero-padded to multiples of 128 lanes; zero
+# weights keep the padding inert.
+
+
+def _conv3x3_slab_vmem_bytes(th, w, kc, no, x_item, out_item):
+    """Per-block VMEM model: double-buffered slab block + packed weights
+    + f32 yfull/acc + double-buffered output block."""
+    wpa = _ru(w + 2, 8)
+    xs = 2 * th * wpa * kc * x_item
+    wgt = kc * no * x_item
+    yfull = th * wpa * no * 4
+    acc = th * w * (no // 3) * 4
+    out = 2 * th * w * (no // 3) * out_item
+    return xs + wgt + yfull + acc + out
+
+
+def _pick_th_slab(w, kc, no, x_item, out_item,
+                  budget=13 * 1024 * 1024):
+    for th in (32, 16, 8, 4, 2, 1):
+        if _conv3x3_slab_vmem_bytes(th, w, kc, no, x_item,
+                                    out_item) <= budget:
+            return th
+    return 1
+
+
+def _slab_kernel(th, w, wpa, kc, o, slope, fuse_act, out_dtype):
+    def kernel(xs_ref, w_ref, b_ref, out_ref):
+        yfull = jnp.dot(
+            xs_ref[0].reshape(th * wpa, kc), w_ref[...],
+            preferred_element_type=jnp.float32,
+        ).reshape(th, wpa, 3 * o)
+        acc = (yfull[:, 0:w, 0:o]
+               + yfull[:, 1:1 + w, o:2 * o]
+               + yfull[:, 2:2 + w, 2 * o:3 * o])
+        y = acc + b_ref[0].astype(jnp.float32)[None, None, :]
+        if fuse_act:
+            y = jnp.where(y > 0, y, slope * y)
+        out_ref[0] = y.astype(out_dtype)
+
+    return kernel
+
+
+def _make_slab(x, pad_mode):
+    """[N,H,W,C] -> padded row-im2col slab [N, H, WPA, 3C] (+ wpa)."""
+    n, h, width, c = x.shape
+    xp = jnp.pad(
+        x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+        mode="reflect" if pad_mode == "reflect" else "constant",
+    )
+    slab = jnp.concatenate(
+        [xp[:, 0:h], xp[:, 1:h + 1], xp[:, 2:h + 2]], axis=-1
+    )  # [N, H, W+2, 3C]
+    wpa = _ru(width + 2, 8)
+    slab = jnp.pad(slab, ((0, 0), (0, 0), (0, wpa - (width + 2)), (0, 0)))
+    return slab, wpa
+
+
+def _pack_w_slab(w, kc):
+    """w [3,3,C,O] -> [KC, 3O] with [dy*C+c, dx*O+o] = w[dy,dx,c,o],
+    zero-padded on K to kc."""
+    c, o = w.shape[2], w.shape[3]
+    wcat = jnp.transpose(w, (0, 2, 1, 3)).reshape(3 * c, 3 * o)
+    return jnp.pad(wcat, ((0, kc - 3 * c), (0, 0)))
+
+
+@partial(jax.jit, static_argnames=("pad_mode", "fuse_act", "slope",
+                                   "out_dtype", "interpret"))
+def _conv3x3_slab_fwd_impl(x, w, b, pad_mode="same", fuse_act=False,
+                           slope=0.2, out_dtype=jnp.bfloat16,
+                           interpret=False):
+    n, h, width, c = x.shape
+    o = w.shape[-1]
+    kc = _ru(3 * c, 128)
+    out_item = jnp.dtype(out_dtype).itemsize
+    th = _pick_th_slab(width, kc, 3 * o, x.dtype.itemsize, out_item)
+    if (_conv3x3_slab_vmem_bytes(th, width, kc, 3 * o, x.dtype.itemsize,
+                                 out_item) > 13 * 1024 * 1024):
+        return _conv3x3_fwd_impl(x, w, b, pad_mode=pad_mode,
+                                 fuse_act=fuse_act, slope=slope,
+                                 out_dtype=out_dtype, interpret=interpret)
+    slab, wpa = _make_slab(x, pad_mode)
+    slab = jnp.pad(slab, ((0, 0), (0, 0), (0, 0), (0, kc - 3 * c)))
+    grid_rows = pl.cdiv(h, th)
+    row_pad = grid_rows * th - h
+    if row_pad:
+        slab = jnp.pad(slab, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+    wk = _pack_w_slab(w, kc).astype(x.dtype)
+    bk = b.astype(jnp.float32).reshape(1, o)
+    kernel = _slab_kernel(th, width, wpa, kc, o, slope, fuse_act,
+                          jnp.dtype(out_dtype))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, grid_rows),
+        in_specs=[
+            pl.BlockSpec((1, th, wpa, kc), lambda nn, i: (nn, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, width, o), lambda nn, i: (nn, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, grid_rows * th, width, o), jnp.dtype(out_dtype)
+        ),
+        interpret=interpret,
+    )(slab, wk, bk)
+    return out[:, :h]
+
+
+def _slab_wgrad_kernel(th, w, wpa, kc, no):
+    def kernel(xs_ref, g3_ref, dw_ref):
+        i = pl.program_id(1)
+        n = pl.program_id(0)
+        first = (i == 0) & (n == 0)
+
+        @pl.when(first)
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        dw_ref[...] = dw_ref[...] + jax.lax.dot_general(
+            xs_ref[0].reshape(th * wpa, kc),
+            g3_ref[0].reshape(th * wpa, no),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("pad_mode", "interpret"))
+def _conv3x3_slab_wgrad_impl(x, g, pad_mode="same", interpret=False):
+    """dW [3,3,C,O] f32: one [KC, 3O] dot per tile.
+
+    dWcat[dy*C+c, dx*O+o] = sum_p slab[p][dy*C+c] * g[p_row, p_col-dx][o]
+    — g3 packs the three column-shifted cotangent copies on lanes.
+    """
+    n, h, width, c = x.shape
+    o = g.shape[-1]
+    kc = _ru(3 * c, 128)
+    no = 3 * o
+    # reuse the fwd VMEM model with the g3 block standing in for yfull
+    th = _pick_th_slab(width, kc, no, x.dtype.itemsize, 4)
+    if (_conv3x3_slab_vmem_bytes(th, width, kc, no, x.dtype.itemsize,
+                                 4) > 13 * 1024 * 1024):
+        return _conv3x3_wgrad_impl(x, g, pad_mode=pad_mode,
+                                   interpret=interpret)
+    slab, wpa = _make_slab(x, pad_mode)
+    slab = jnp.pad(slab, ((0, 0), (0, 0), (0, 0), (0, kc - 3 * c)))
+    # g3 [N, H, WPA, 3O]: lane-block dx holds g shifted so that slab
+    # column j pairs with output column j - 1 + ... inverse of the
+    # forward's acc += yfull[:, dx:dx+w, dx*O:]: slab col (j+dx) hits
+    # output col j, so g3[:, :, col, dx*O:] = g[:, :, col - dx] with
+    # g logically at slab cols [dx, dx+w).
+    gp = g.astype(x.dtype)
+    g3 = jnp.concatenate(
+        [jnp.pad(gp, ((0, 0), (0, 0), (dx, wpa - width - dx), (0, 0)))
+         for dx in range(3)],
+        axis=-1,
+    )  # [N, H, WPA, 3O]
+    grid_rows = pl.cdiv(h, th)
+    row_pad = grid_rows * th - h
+    if row_pad:
+        slab = jnp.pad(slab, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+        g3 = jnp.pad(g3, ((0, 0), (0, row_pad), (0, 0), (0, 0)))
+    kernel = _slab_wgrad_kernel(th, width, wpa, kc, no)
+    dwcat = pl.pallas_call(
+        kernel,
+        grid=(n, grid_rows),
+        in_specs=[
+            pl.BlockSpec((1, th, wpa, kc), lambda nn, i: (nn, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wpa, no), lambda nn, i: (nn, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kc, no), lambda nn, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kc, no), jnp.float32),
+        interpret=interpret,
+    )(slab, g3)
+    # unpack [KC, 3O] -> [3, 3, C, O]
+    dw = dwcat[:3 * c].reshape(3, c, 3, o)
+    return jnp.transpose(dw, (0, 2, 1, 3))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def conv3x3s(x, w, b, pad_mode="same", fuse_act=False, slope=0.2,
+             interpret=False):
+    """Slab-formulation 3x3 conv — same contract as `conv3x3`."""
+    return _conv3x3_slab_fwd_impl(
+        x, w, b, pad_mode=pad_mode, fuse_act=fuse_act, slope=slope,
+        out_dtype=x.dtype, interpret=interpret,
+    )
+
+
+def _conv3x3s_fwd(x, w, b, pad_mode, fuse_act, slope, interpret):
+    out = _conv3x3_slab_fwd_impl(
+        x, w, b, pad_mode=pad_mode, fuse_act=fuse_act, slope=slope,
+        out_dtype=x.dtype, interpret=interpret,
+    )
+    return out, (x, w, out if fuse_act else None)
+
+
+def _conv3x3s_bwd(pad_mode, fuse_act, slope, interpret, res, g):
+    x, w, out = res
+    g = g.astype(x.dtype)
+    if fuse_act:
+        g = jnp.where(out > 0, g, (slope * g.astype(jnp.float32)).astype(
+            x.dtype))
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    w_rot = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    zeros_c = jnp.zeros((w.shape[2],), jnp.float32)
+    if pad_mode == "same":
+        dx = _conv3x3_slab_fwd_impl(
+            g, w_rot, zeros_c, pad_mode="same", fuse_act=False,
+            slope=slope, out_dtype=jnp.float32, interpret=interpret,
+        )
+    else:
+        gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        dxp = _conv3x3_slab_fwd_impl(
+            gp, w_rot, zeros_c, pad_mode="same", fuse_act=False,
+            slope=slope, out_dtype=jnp.float32, interpret=interpret,
+        )
+        dx = dxp[:, 1:-1, 1:-1]
+        dx = dx.at[:, 1, :].add(dxp[:, 0, 1:-1])
+        dx = dx.at[:, -2, :].add(dxp[:, -1, 1:-1])
+        dx = dx.at[:, :, 1].add(dxp[:, 1:-1, 0])
+        dx = dx.at[:, :, -2].add(dxp[:, 1:-1, -1])
+        dx = dx.at[:, 1, 1].add(dxp[:, 0, 0])
+        dx = dx.at[:, 1, -2].add(dxp[:, 0, -1])
+        dx = dx.at[:, -2, 1].add(dxp[:, -1, 0])
+        dx = dx.at[:, -2, -2].add(dxp[:, -1, -1])
+    return dx.astype(x.dtype), _conv3x3_slab_wgrad_impl(
+        x, g, pad_mode=pad_mode, interpret=interpret
+    ).astype(w.dtype), db.astype(jnp.float32)
+
+
+conv3x3s.defvjp(_conv3x3s_fwd, _conv3x3s_bwd)

@@ -437,3 +437,87 @@ def test_wgrad_xla_fallback_dtypes(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a).astype(np.float32) / scale,
             np.asarray(e) / scale, rtol=0, atol=3e-2, err_msg=name)
+
+
+class TestSlabConv:
+    """conv3x3s (row-im2col slab, one wide dot per tile) parity."""
+
+    def test_forward_same_reflect_act(self):
+        from rnr_tpu.ops.conv_pallas import conv3x3s
+
+        for pad_mode, fuse, seed in (("same", False, 0),
+                                     ("reflect", False, 1),
+                                     ("same", True, 2)):
+            x, w, b = _data(seed=seed)
+            got = conv3x3s(x, w, b, pad_mode, fuse, 0.2, True)
+            want = _xla_ref(x, w, b, pad_mode, fuse_act=fuse)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=0, atol=2e-2,
+                err_msg=f"{pad_mode} fuse={fuse}",
+            )
+
+    def test_forward_matches_tapwise_kernel(self):
+        """Same values as the tap-wise conv3x3 (fp association aside)."""
+        from rnr_tpu.ops.conv_pallas import conv3x3s
+
+        x, w, b = _data(h=24, w=40, c=108 // 4, o=16, seed=3)
+        a = conv3x3s(x, w, b, "reflect", True, 0.2, True)
+        e = conv3x3(x, w, b, "reflect", True, 0.2, True)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=0, atol=2e-2)
+
+    def _check_grads(self, pad_mode, fuse_act, seed):
+        from rnr_tpu.ops.conv_pallas import conv3x3s
+
+        x, w, b = _data(h=16, w=16, c=4, o=8, n=1, seed=seed)
+        rng = np.random.default_rng(seed + 10)
+        cot = jnp.asarray(
+            rng.standard_normal((1, 16, 16, 8)).astype(np.float32)
+        )
+        if fuse_act:
+            pre = _xla_ref(x, w, b, pad_mode, fuse_act=False)
+            cot = cot * (jnp.abs(pre) > 0.05)
+
+        def loss_pallas(x, w, b):
+            return jnp.sum(
+                conv3x3s(x, w, b, pad_mode, fuse_act, 0.2, True)
+                .astype(jnp.float32) * cot
+            )
+
+        def loss_xla(x, w, b):
+            return jnp.sum(_xla_ref(x, w, b, pad_mode, fuse_act) * cot)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, w, b)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, w, b)
+        for a, e, name in zip(gp, gx, ("dx", "dw", "db")):
+            scale = np.abs(np.asarray(e)).max() + 1e-6
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(e) / scale,
+                rtol=0, atol=3e-2, err_msg=f"{pad_mode} {name}",
+            )
+
+    def test_grads_same(self):
+        self._check_grads("same", False, 4)
+
+    def test_grads_reflect(self):
+        self._check_grads("reflect", False, 5)
+
+    def test_grads_fused_act(self):
+        self._check_grads("same", True, 6)
+
+    def test_vmem_budget(self):
+        """Slab kernel working sets at shipped conv shapes stay inside
+        the v5e scoped-VMEM budget."""
+        from rnr_tpu.ops.conv_pallas import (
+            _conv3x3_slab_vmem_bytes, _pick_th_slab, _ru,
+        )
+
+        for w, c, o in ((512, 108, 64), (512, 64, 64), (256, 128, 128),
+                        (128, 256, 256), (64, 512, 512),
+                        (1024, 108, 64)):
+            kc = _ru(3 * c, 128)
+            for x_item, out_item in ((2, 2), (2, 4), (4, 4)):
+                th = _pick_th_slab(w, kc, 3 * o, x_item, out_item)
+                used = _conv3x3_slab_vmem_bytes(th, w, kc, 3 * o,
+                                                x_item, out_item)
+                assert used <= 13 * 1024 * 1024, (w, c, o, th, used)

@@ -51,6 +51,10 @@ def main() -> None:
                    help="skip execution; emit per-step collective bytes "
                         "+ the ICI time model only")
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--t1_ms", type=float, default=None,
+                   help="single-chip step time for the ICI efficiency "
+                        "model (default: newest BENCH headline when "
+                        "--canonical)")
     opt = p.parse_args()
     counts = [int(c) for c in opt.devices.split(",")]
 
@@ -72,23 +76,31 @@ def main() -> None:
             print(f"skip n={n}: only {len(jax.devices())} devices")
             continue
         dp = opt.dp if n % opt.dp == 0 else 1
-        cfg, model, batch = _build(
-            img_size=opt.img, tex_size=64, lmax=2, num_sample=128,
-            nf0=16, num_down=4, gcn_blocks=4, gcn_v=1024,
-            num_azi=6, num_polar=2, batch=dp,
-        )
+        if opt.canonical:
+            cfg, model, batch = _build(
+                img_size=opt.img, tex_size=512, lmax=10, num_sample=4096,
+                nf0=64, num_down=5, gcn_blocks=20, gcn_v=7500,
+                num_azi=6, num_polar=2, batch=dp,
+            )
+        else:
+            cfg, model, batch = _build(
+                img_size=opt.img, tex_size=64, lmax=2, num_sample=128,
+                nf0=16, num_down=4, gcn_blocks=4, gcn_v=1024,
+                num_azi=6, num_polar=2, batch=dp,
+            )
         state, tx = create_rnr_state(
             model, jax.random.PRNGKey(0), batch, cfg.train.lr
         )
         if not opt.eval:
             # train-only inputs (loss targets + texture-flatten snapshot)
+            ns = cfg.lighting.num_sample
             rng = np.random.default_rng(1)
             statics = {
                 "l_samples_init": jnp.asarray(
-                    rng.uniform(0, 1, (128, 3)).astype(np.float32)
+                    rng.uniform(0, 1, (ns, 3)).astype(np.float32)
                 ),
                 "l_samples_mask": jnp.asarray(
-                    (rng.uniform(size=128) > 0.3).astype(np.float32)
+                    (rng.uniform(size=ns) > 0.3).astype(np.float32)
                 ),
                 "tex_flatten_init": rnr_texture_flatten_init(
                     model, state.params
@@ -129,6 +141,32 @@ def main() -> None:
         else:
             mesh = make_mesh(n, dp=dp)
             step = make_sharded_rnr_train_step(model, tx, mesh)
+        if opt.lower_only:
+            row = {"devices": n, "lower_only": True}
+            if n > 1 and not opt.eval:
+                from rnr_tpu.parallel.hlo_stats import (
+                    step_collective_stats,
+                )
+                from rnr_tpu.parallel.sharding import (
+                    replicated, shard_rnr_batch,
+                )
+
+                st_s = jax.device_put(state, replicated(mesh))
+                stats_s = jax.device_put(statics, replicated(mesh))
+                b_s = shard_rnr_batch(batch, mesh)
+                with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+                    cs = step_collective_stats(
+                        step.base_step, st_s, b_s, stats_s,
+                        jax.random.PRNGKey(2))
+                row["collectives"] = cs
+                print(f"n={n} collectives: "
+                      f"{cs.get('total_bytes', 0) / 1e6:.2f} MB/step "
+                      + ", ".join(
+                          f"{k} x{v['count']} {v['bytes']/1e6:.2f}MB"
+                          for k, v in cs.items()
+                          if isinstance(v, dict)), flush=True)
+            results.append(row)
+            continue
         if not opt.eval:
             key = jax.random.PRNGKey(2)
             # the train step donates its incoming state — run on a copy
@@ -181,13 +219,75 @@ def main() -> None:
         print(f"n={n}: {dt / opt.steps * 1e3:.1f} ms/step, "
               f"{rps:,.0f} rays/s")
 
-    if results:
+    if results and not opt.lower_only:
         base = results[0]["rays_per_s"] / results[0]["devices"]
         for r in results:
             r["efficiency"] = round(
                 r["rays_per_s"] / (base * r["devices"]), 3
             )
-        print(json.dumps(results))
+
+    # --- ICI time model (VERDICT r4 item 4) -------------------------------
+    # Turns the >=85% rays/s scaling-efficiency target (BASELINE.md:42)
+    # into arithmetic: per-step collective bytes (from the compiled HLO,
+    # result-element accounting) over v5e ICI bandwidth vs per-chip
+    # compute time.  Model: each v5e chip has 4 ICI links at ~4.5e10 B/s
+    # unidirectional (2D torus); a 1D ring collective uses 2 links
+    # -> ~9e10 B/s effective per chip.  Ring algorithm factors:
+    # all-reduce moves 2B(n-1)/n per chip, all-gather/reduce-scatter/
+    # all-to-all B(n-1)/n, collective-permute B (one hop).
+    ICI_LINK_BW = 4.5e10
+    RING_BW = 2 * ICI_LINK_BW
+    t1_ms = opt.t1_ms
+    if t1_ms is None:
+        import glob as _glob
+
+        bps = sorted(_glob.glob(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_r*.json")))
+        if bps and opt.canonical:
+            with open(bps[-1]) as f:
+                t1_ms = 1000.0 / json.load(f)["parsed"]["value"]
+    for r in results:
+        cs = r.get("collectives")
+        n = r["devices"]
+        if not isinstance(cs, dict) or "error" in cs or n < 2:
+            continue
+        t_comm = 0.0
+        for kind, v in cs.items():
+            if not isinstance(v, dict):
+                continue
+            b = v["bytes"]
+            if kind == "all-reduce":
+                t_comm += 2.0 * b * (n - 1) / n / RING_BW
+            elif kind == "collective-permute":
+                t_comm += b / RING_BW
+            else:
+                t_comm += b * (n - 1) / n / RING_BW
+        r["ici_model"] = {
+            "t_comm_ms": round(t_comm * 1e3, 3),
+            "assumed_ring_bw_B_per_s": RING_BW,
+        }
+        if t1_ms is not None:
+            t_comp = t1_ms / n
+            r["ici_model"].update({
+                "t_comp_ms_per_chip": round(t_comp, 3),
+                "eff_no_overlap": round(t_comp / (t_comp + t_comm * 1e3),
+                                        4),
+                "eff_full_overlap": round(
+                    t_comp / max(t_comp, t_comm * 1e3), 4),
+                "t1_ms_source": ("--t1_ms" if opt.t1_ms is not None
+                                 else "newest BENCH_r*.json b1"),
+            })
+        print(f"n={n} ici_model: {r['ici_model']}", flush=True)
+
+    print(json.dumps(results))
+    if opt.out:
+        with open(opt.out, "w") as f:
+            json.dump({"canonical": bool(opt.canonical),
+                       "img": opt.img, "dp": opt.dp,
+                       "lower_only": bool(opt.lower_only),
+                       "results": results}, f, indent=1)
+        print("wrote", opt.out)
 
 
 if __name__ == "__main__":

@@ -308,15 +308,99 @@ def section_c():
             print(k, v, flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Section D: tap-wise conv3x3 vs slab conv3x3s vs XLA
+# ---------------------------------------------------------------------------
+
+def section_d():
+    from rnr_tpu.ops.conv_pallas import conv3x3, conv3x3s
+
+    def xla_conv(x, w, b):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        return (jax.lax.conv_general_dilated(
+            xp, w.astype(x.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ) + b[None, None, None, :]).astype(x.dtype)
+
+    rng = np.random.default_rng(3)
+    shapes = [(512, 108, 64), (512, 64, 64), (256, 128, 128),
+              (128, 256, 256)]
+    chain = 4
+    for s, c, o in shapes:
+        x = jnp.asarray(
+            rng.standard_normal((1, s, s, c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w = jnp.asarray(
+            (rng.standard_normal((3, 3, c, o)) * 0.1).astype(np.float32))
+        b = jnp.asarray(np.zeros(o, np.float32))
+        w2 = jnp.asarray(
+            (rng.standard_normal((3, 3, o, o)) * 0.1).astype(np.float32))
+        flops = 2.0 * s * s * 9 * (c * o + (chain - 1) * o * o)
+
+        def make_chain(op):
+            @jax.jit
+            def f(x):
+                y = op(x, w, b, "reflect", False, 0.2, False)
+                for _ in range(chain - 1):
+                    y = op(y, w2, b, "reflect", False, 0.2, False)
+                return y
+            return f
+
+        @jax.jit
+        def xla_chain(x):
+            y = xla_conv(x, w, b)
+            for _ in range(chain - 1):
+                y = xla_conv(y, w2, b)
+            return y
+
+        for name, f in (("tap", make_chain(conv3x3)),
+                        ("slab", make_chain(conv3x3s)),
+                        ("xla", xla_chain)):
+            ms = timeit(f, x, iters=20)
+            tfs = flops / (ms * 1e-3) / 1e12
+            key = f"D_conv_{name}_s{s}_c{c}_o{o}"
+            RESULTS["cells"][key] = {"fwd_ms": round(ms, 3),
+                                     "tflops_s": round(tfs, 2)}
+            # fwd+bwd chain
+            if name == "xla":
+                def lfn(x, wa, wb):
+                    y = xla_conv(x, wa, b)
+                    for _ in range(chain - 1):
+                        y = xla_conv(y, wb, b)
+                    return jnp.sum(y.astype(jnp.float32))
+            elif name == "tap":
+                def lfn(x, wa, wb):
+                    y = conv3x3(x, wa, b, "reflect", False, 0.2, False)
+                    for _ in range(chain - 1):
+                        y = conv3x3(y, wb, b, "reflect", False, 0.2,
+                                    False)
+                    return jnp.sum(y.astype(jnp.float32))
+            else:
+                def lfn(x, wa, wb):
+                    y = conv3x3s(x, wa, b, "reflect", False, 0.2, False)
+                    for _ in range(chain - 1):
+                        y = conv3x3s(y, wb, b, "reflect", False, 0.2,
+                                     False)
+                    return jnp.sum(y.astype(jnp.float32))
+            g = jax.jit(jax.grad(lfn, argnums=(0, 1, 2)))
+            ms2 = timeit(lambda: g(x, w, w2), iters=10)
+            tfs2 = 3 * flops / (ms2 * 1e-3) / 1e12
+            RESULTS["cells"][key]["fwdbwd_ms"] = round(ms2, 3)
+            RESULTS["cells"][key]["fwdbwd_tflops_s"] = round(tfs2, 2)
+            print(key, RESULTS["cells"][key], flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="tools/out/probe_r5.json")
     args = ap.parse_args()
-    sections = os.environ.get("R5_SECTIONS", "A,B,C").split(",")
+    sections = os.environ.get("R5_SECTIONS", "A,B,C,D").split(",")
     RESULTS["backend"] = jax.default_backend()
     print("backend:", RESULTS["backend"], flush=True)
     for s in sections:
-        {"A": section_a, "B": section_b, "C": section_c}[s.strip()]()
+        {"A": section_a, "B": section_b, "C": section_c,
+         "D": section_d}[s.strip()]()
         with open(args.out, "w") as f:
             json.dump(RESULTS, f, indent=1)
     print("wrote", args.out, flush=True)
