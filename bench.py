@@ -53,11 +53,13 @@ def resolve_tuned_config() -> dict:
             "BENCH_RAYS_DTYPE", tuned.get("rays_dtype", "float32")),
         "gcn_dtype": os.environ.get(
             "BENCH_GCN_DTYPE", tuned.get("gcn_dtype", "float32")),
+        "sh_fan_fuse": os.environ.get(
+            "BENCH_SH_FAN", str(tuned.get("sh_fan_fuse", True))),
     }
     # whitelist: a corrupt/typo'd best_config.json must not silently
     # mis-configure the measurement
     valid = {
-        "conv_backend": {"auto", "xla", "pallas", "pallas3"},
+        "conv_backend": {"auto", "xla", "pallas", "pallas3", "slab3"},
         "rays_dtype": {"float32", "bfloat16"},
         "gcn_dtype": {"float32", "bfloat16"},
     }
@@ -66,6 +68,8 @@ def resolve_tuned_config() -> dict:
     for k, allowed in valid.items():
         if resolved[k] not in allowed:
             resolved[k] = defaults[k]
+    resolved["sh_fan_fuse"] = str(resolved["sh_fan_fuse"]).lower() in (
+        "true", "1")
     return resolved
 
 
@@ -113,6 +117,7 @@ def main() -> None:
     conv_backend = tuned["conv_backend"]
     rays_dtype = tuned["rays_dtype"]
     gcn_dtype = tuned["gcn_dtype"]
+    sh_fan_fuse = tuned["sh_fan_fuse"]
     # PRNG impl for the per-step rng (dropout masks + stochastic GCN
     # dilation): "rbg" uses the TPU's hardware RNG instead of threefry
     # software rounds — distributionally identical streams
@@ -137,6 +142,7 @@ def main() -> None:
         rays_dtype=rays_dtype,
         conv_backend=conv_backend,
         gcn_dtype=gcn_dtype,
+        sh_fan_fuse=sh_fan_fuse,
     )
 
     rng = jax.random.key(0, impl=prng_impl)
@@ -212,7 +218,7 @@ def main() -> None:
             nf0=64, num_down=5, gcn_blocks=gcn_blocks, gcn_v=gcn_v,
             num_azi=6, num_polar=2, batch=2, remat=remat,
             rays_dtype=rays_dtype, conv_backend=conv_backend,
-            gcn_dtype=gcn_dtype,
+            gcn_dtype=gcn_dtype, sh_fan_fuse=sh_fan_fuse,
         )
         state2, tx2 = create_rnr_state(
             model2, jax.random.PRNGKey(0), batch2, cfg2.train.lr
@@ -248,7 +254,7 @@ def main() -> None:
             nf0=64, num_down=5, gcn_blocks=gcn_blocks, gcn_v=gcn_v,
             num_azi=6, num_polar=2, batch=1, remat=remat,
             rays_dtype=rays_dtype, conv_backend=conv_backend,
-            gcn_dtype=gcn_dtype,
+            gcn_dtype=gcn_dtype, sh_fan_fuse=sh_fan_fuse,
         )
         stateK, txK = create_rnr_state(
             modelK, jax.random.PRNGKey(0), batchK, cfgK.train.lr
@@ -328,6 +334,7 @@ def main() -> None:
             # only if these match
             "conv_backend": conv_backend,
             "rays_dtype": rays_dtype,
+            "sh_fan_fuse": sh_fan_fuse,
             "gcn_dtype": gcn_dtype,
             "remat": remat_env,
             "vs_baseline_anchor": (

@@ -72,6 +72,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="storage dtype of the per-ray tensors (bf16 "
                         "halves their HBM traffic; reductions stay f32)")
+    p.add_argument("--sh_fan_fuse", default=True,
+                   type=lambda x: str(x).lower() in ["true", "1"],
+                   help="construct the ray fan inside the Pallas SH "
+                        "kernel (f32 directions, no rays_dir read)")
     def _remat_arg(x):
         v = str(x).lower()
         if v in ("wide", "all", "none"):
@@ -482,7 +486,8 @@ def main(argv=None) -> None:
             lighting_relight_idx=opt.lighting_relight_idx,
             fix_lighting=opt.fix_lighting, init_lighting=opt.init_lighting,
         ),
-        rays=RaysConfig(rays_dtype=opt.rays_dtype),
+        rays=RaysConfig(rays_dtype=opt.rays_dtype,
+                        sh_fan_fuse=opt.sh_fan_fuse),
         gcn=GCNTrainConfig(
             kernel_size=opt.kernel_size, n_filters=opt.n_filters,
             n_blocks=opt.n_blocks, epsilon=opt.epsilon,

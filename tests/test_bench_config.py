@@ -40,7 +40,7 @@ def test_defaults_without_file(bench_mod):
     mod, _ = bench_mod
     got = mod.resolve_tuned_config()
     assert got == {"conv_backend": "xla", "rays_dtype": "float32",
-                   "gcn_dtype": "float32"}
+                   "gcn_dtype": "float32", "sh_fan_fuse": True}
 
 
 def test_file_supplies_defaults(bench_mod):

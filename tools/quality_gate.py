@@ -63,6 +63,23 @@ ABLATIONS = {
     "gcn_norm_batch": ["--knn_approx", "true", "--knn_recall", "0.9",
                        "--strat_min_dilation", "3",
                        "--norm_type", "batch"],
+    # --- round-5 arms ---
+    # slab-formulation Pallas convs (one wide dot per tile)
+    "conv_slab3": ["--knn_approx", "true", "--knn_recall", "0.9",
+                   "--strat_min_dilation", "3",
+                   "--rays_dtype", "bfloat16",
+                   "--unet_conv_backend", "slab3"],
+    # fan fusion OFF (isolates the in-kernel f32 fan construction the
+    # defaults ship)
+    "sh_fan_off": ["--knn_approx", "true", "--knn_recall", "0.9",
+                   "--strat_min_dilation", "3",
+                   "--rays_dtype", "bfloat16",
+                   "--sh_fan_fuse", "false"],
+    # shipped round-5 defaults at bench precision (bf16 rays + auto
+    # convs + fan fusion on)
+    "r5_fast": ["--knn_approx", "true", "--knn_recall", "0.9",
+                "--strat_min_dilation", "3",
+                "--rays_dtype", "bfloat16"],
 }
 
 

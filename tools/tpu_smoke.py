@@ -133,10 +133,20 @@ def main():
         gates["sh_shade"] = {"pass": False, "error": repr(e)[:300]}
         print("sh_shade gate FAILED:", repr(e)[:200], flush=True)
     try:
+        _sh_fan_gate(gates, jax, jnp, _sync)
+    except Exception as e:
+        gates["sh_shade_fan"] = {"pass": False, "error": repr(e)[:300]}
+        print("sh_shade_fan gate FAILED:", repr(e)[:200], flush=True)
+    try:
         _conv_gate(gates, jax, jnp, _sync)
     except Exception as e:
         gates["unet_convs"] = {"pass": False, "error": repr(e)[:300]}
         print("unet_convs gate FAILED:", repr(e)[:200], flush=True)
+    try:
+        _slab_conv_gate(gates, jax, jnp, _sync)
+    except Exception as e:
+        gates["conv3x3_slab"] = {"pass": False, "error": repr(e)[:300]}
+        print("conv3x3_slab gate FAILED:", repr(e)[:200], flush=True)
     try:
         _shmap_gate(gates, jax, jnp, _sync)
     except Exception as e:
@@ -488,6 +498,151 @@ def _sh_gate(gates, jax, jnp, _sync):
         "fwdbwd_ms": round(t_pb * 1e3, 2),
         "xla_fwdbwd_ms": round(t_xb * 1e3, 2),
     }
+
+def _sh_fan_gate(gates, jax, jnp, _sync):
+    """sh_shade_fan (in-kernel ray-fan construction) vs sh_shade on the
+    XLA-composed fan — parity + fwd / fwd+bwd timings on device."""
+    from rnr_tpu.models.rays import RaySampler
+    from rnr_tpu.ops.sh_pallas import sh_shade, sh_shade_fan
+
+    S2 = 512
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((1, S2, S2, 3, 3))
+    q, _ = np.linalg.qr(m)
+    tbn = jnp.asarray(q.astype(np.float32))
+    vdt = rng.standard_normal((1, S2, S2, 3)).astype(np.float32)
+    vdt = jnp.asarray(vdt / np.linalg.norm(vdt, axis=-1, keepdims=True))
+    al = jnp.asarray(
+        (rng.uniform(size=(1, S2, S2, 1)) > 0.3).astype(np.float32))
+    cf = jnp.asarray(rng.standard_normal((121, 3)).astype(np.float32))
+    spec = RaySampler(num_azi=6, num_polar=2, interval_polar=5.0,
+                      mode="reflect")
+    diff = RaySampler(num_azi=6, num_polar=2, interval_polar=10.0,
+                      mode="diffuse")
+    rd_s, _, _ = spec(tbn, vdt, al, with_uv=False)
+    rd_d, _, _ = diff(tbn, vdt, al, with_uv=False)
+    rays_dir = jnp.concatenate([rd_s, rd_d], axis=-1).astype(jnp.bfloat16)
+    lt = jnp.asarray(
+        rng.uniform(0, 2, (1, S2, S2, 26, 3)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    pivots = jnp.asarray(np.concatenate(
+        [spec.pivots_dir.T, diff.pivots_dir.T], axis=0
+    ).astype(np.float32))
+    r_spec = spec.num_ray
+
+    base = jax.jit(lambda lt_: sh_shade(rays_dir, lt_, al, cf, 10,
+                                        r_spec))
+    fan = jax.jit(lambda lt_: sh_shade_fan(tbn, vdt, al, lt_, cf,
+                                           pivots, 10, r_spec))
+    a, b = base(lt), fan(lt)
+    _sync(a[0]); _sync(b[0])
+    rel = float(np.max(np.abs(np.asarray(a[0]) - np.asarray(b[0])))
+                / (np.max(np.abs(np.asarray(a[0]))) + 1e-9))
+
+    def t5(f, *args):
+        out = f(*args)
+        _sync(jax.tree.leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = f(*args)
+        _sync(jax.tree.leaves(out)[0])
+        return (time.perf_counter() - t0) / 5
+
+    t_base, t_fan = t5(base, lt), t5(fan, lt)
+
+    gb = jax.jit(jax.grad(lambda lt_, cf_: jnp.sum(
+        sh_shade(rays_dir, lt_, al, cf_, 10, r_spec)[0] ** 2),
+        argnums=(0, 1)))
+    gf = jax.jit(jax.grad(lambda lt_, cf_: jnp.sum(
+        sh_shade_fan(tbn, vdt, al, lt_, cf_, pivots, 10, r_spec)[0] ** 2),
+        argnums=(0, 1)))
+    glb, gcb = gb(lt, cf)
+    glf, gcf = gf(lt, cf)
+    _sync(glb); _sync(glf)
+    grad_rel = float(max(
+        np.max(np.abs(np.asarray(glf, np.float32)
+                      - np.asarray(glb, np.float32)))
+        / (np.max(np.abs(np.asarray(glb, np.float32))) + 1e-9),
+        np.max(np.abs(np.asarray(gcf) - np.asarray(gcb)))
+        / (np.max(np.abs(np.asarray(gcb))) + 1e-9),
+    ))
+    t_bb, t_bf = t5(lambda: gb(lt, cf)), t5(lambda: gf(lt, cf))
+    finite = bool(np.isfinite(np.asarray(glf, np.float32)).all()
+                  and np.isfinite(np.asarray(gcf)).all())
+    print(f"sh_shade_fan 512^2/26rays  fwd {t_fan*1e3:7.1f} ms (base "
+          f"{t_base*1e3:.1f})  fwd+bwd {t_bf*1e3:7.1f} ms (base "
+          f"{t_bb*1e3:.1f})  rel {rel:.5f} grad rel {grad_rel:.2e}",
+          flush=True)
+    # tolerances: the fan path computes directions in f32 while the base
+    # path quantizes them to bf16 first — small systematic differences
+    # are expected and bounded
+    gates["sh_shade_fan"] = {
+        "pass": bool(rel < 2e-2 and grad_rel < 2e-2 and finite),
+        "rel_err_vs_bf16fan": round(rel, 6),
+        "grad_rel_err": round(grad_rel, 6),
+        "fwd_ms": round(t_fan * 1e3, 2),
+        "base_fwd_ms": round(t_base * 1e3, 2),
+        "fwdbwd_ms": round(t_bf * 1e3, 2),
+        "base_fwdbwd_ms": round(t_bb * 1e3, 2),
+    }
+
+
+def _slab_conv_gate(gates, jax, jnp, _sync):
+    """conv3x3s (row-im2col slab, one wide dot per tile) vs the XLA conv
+    on device — the r5 conv-wall candidate."""
+    from rnr_tpu.ops.conv_pallas import conv3x3s
+
+    rows = {}
+    ok = True
+    rng = np.random.default_rng(9)
+    for s, c, o in ((512, 108, 64), (512, 64, 64), (256, 128, 128)):
+        x = jnp.asarray(
+            rng.standard_normal((1, s, s, c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w = jnp.asarray(
+            (rng.standard_normal((3, 3, c, o)) * 0.1).astype(np.float32))
+        b = jnp.asarray(np.zeros(o, np.float32))
+
+        def xla_ref(x_, w_):
+            xp = jnp.pad(x_, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                         mode="reflect")
+            return jax.lax.conv_general_dilated(
+                xp, w_.astype(x_.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+
+        f = jax.jit(lambda x_: conv3x3s(x_, w, b, "reflect", False, 0.2,
+                                        False))
+        r = jax.jit(lambda x_: xla_ref(x_, w))
+        yp, yx = f(x), r(x)
+        _sync(yp)
+        rel = float(np.max(np.abs(np.asarray(yp, np.float32)
+                                  - np.asarray(yx)))
+                    / (np.max(np.abs(np.asarray(yx))) + 1e-9))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            yp = f(x)
+        _sync(yp)
+        t_p = (time.perf_counter() - t0) / 10
+        # wgrad parity
+        gw_p = jax.jit(jax.grad(lambda w_: jnp.sum(
+            conv3x3s(x, w_, b, "reflect", False, 0.2, False)
+            .astype(jnp.float32) ** 2)))(w)
+        gw_x = jax.jit(jax.grad(lambda w_: jnp.sum(
+            xla_ref(x, w_) ** 2)))(w)
+        _sync(gw_p)
+        wrel = float(np.max(np.abs(np.asarray(gw_p) - np.asarray(gw_x)))
+                     / (np.max(np.abs(np.asarray(gw_x))) + 1e-9))
+        key = f"slab_s{s}_c{c}_o{o}"
+        rows[key] = {"fwd_rel_err": round(rel, 6),
+                     "wgrad_rel_err": round(wrel, 6),
+                     "fwd_ms": round(t_p * 1e3, 3),
+                     "pass": bool(rel < 3e-2 and wrel < 3e-2)}
+        ok = ok and rows[key]["pass"]
+        print(f"conv3x3_slab[{key}] fwd {t_p*1e3:6.2f} ms rel {rel:.4f} "
+              f"wgrad rel {wrel:.4f}", flush=True)
+    gates["conv3x3_slab"] = {"pass": bool(ok), **rows}
+
 
 def _conv_gate(gates, jax, jnp, _sync):
     """Pallas 3x3 / down4 / convt4 vs the XLA conv oracles, on device.
