@@ -81,6 +81,10 @@ R5_STEP=0 R5_1024=1 R5_BEST_CONV="$BEST_CONV" R5_BEST_FAN="$BEST_FAN" \
 phase 4 "tpu_bench_r5 batch/infer/1024 at best config" 7200 \
   python tools/tpu_bench_r5.py
 
+# 4b. per-stage breakdown for the PERFORMANCE.md table refresh
+phase 45 "profile_components stage breakdown" 3600 bash -c \
+  "python tools/profile_components.py --img 512 | tee tools/out/profile_components_r5.log"
+
 # 5. kernel gates (incl. the new sh_shade_fan / conv3x3_slab gates)
 KERNELS_JSON=KERNELS_r05.json \
 phase 5 "tpu_smoke kernel gates -> KERNELS_r05.json" 3600 \

@@ -693,11 +693,19 @@ def _conv_gate(gates, jax, jnp, _sync):
         gw_x, _ = loss_x(w, b)
         relg = float(jnp.max(jnp.abs(gw_p - gw_x))
                      / (jnp.max(jnp.abs(gw_x)) + 1e-9))
-        t0 = time.perf_counter()
-        for _ in range(5):
-            yp_t = f_p(x, w, b)
+        # per-call min-of-5 with a synced warmup call: the r4 record's
+        # first cell read 95.6 ms vs 5.7/8.2 for its same-size siblings
+        # (pending device work from the parity fetches above polluted an
+        # unsynced mean) — the steady-state min is the kernel property
+        yp_t = f_p(x, w, b)
         _sync(yp_t)
-        dt = (time.perf_counter() - t0) / 5
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            yp_t = f_p(x, w, b)
+            _sync(yp_t)
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
         cell_ok = rel < 0.02 and relg < 0.02
         ok = ok and cell_ok
         rows[f"conv3x3_c{c}_o{o}"] = {
