@@ -97,6 +97,7 @@ phase 6 "bench.py preview" 2400 bash -c \
 # 7. canonical quality gate WITH relighting columns (VERDICT r4 item 2)
 phase 7 "canonical quality gate (relight columns, r5 arms)" 43200 \
   python tools/quality_gate.py --iters 2000 --img 512 --canonical \
+    --root /tmp/rnr_qgate_r5 \
     --ablations r5_fast,conv_slab3,sh_fan_off,exact \
     --out tools/out/quality_gate_canonical_r5.json
 
