@@ -128,3 +128,61 @@ def test_mipmap_sample_shard_map_matches_direct(rng):
     for a, b in zip(g_sh, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_sh_shade_fan_shard_map_matches_xla(rng):
+    """The fan-fused kernel (sh_shade_fan) under shard_map on the
+    virtual mesh: outputs + gradients equal the single-device XLA
+    composition of the same fan."""
+    from rnr_tpu.models.rays import RaySampler
+
+    n, s = 1, 64
+    m = rng.standard_normal((n, s, s, 3, 3))
+    q, _ = np.linalg.qr(m)
+    tbn = jnp.asarray(q.astype(np.float32))
+    vdt = rng.standard_normal((n, s, s, 3)).astype(np.float32)
+    vdt = jnp.asarray(vdt / np.linalg.norm(vdt, axis=-1, keepdims=True))
+    al = jnp.asarray(
+        (rng.uniform(size=(n, s, s, 1)) > 0.3).astype(np.float32))
+    cf = jnp.asarray(rng.standard_normal((25, 3)).astype(np.float32))
+    alb = jnp.asarray(
+        rng.uniform(0, 1, (n, s, s, 3)).astype(np.float32))
+    spec = RaySampler(num_azi=2, num_polar=1, interval_polar=5.0,
+                      mode="reflect")
+    diff = RaySampler(num_azi=2, num_polar=1, interval_polar=10.0,
+                      mode="diffuse")
+    rd_s, _, _ = spec(tbn, vdt, al, with_uv=False)
+    rd_d, _, _ = diff(tbn, vdt, al, with_uv=False)
+    d = jnp.concatenate([rd_s, rd_d], axis=-1)
+    r_total = d.shape[-1]
+    lt = jnp.asarray(
+        rng.uniform(0, 2, (n, s, s, r_total, 3)).astype(np.float32))
+    pivots = jnp.asarray(np.concatenate(
+        [spec.pivots_dir.T, diff.pivots_dir.T], axis=0
+    ).astype(np.float32))
+    kw = dict(num_ray_diffuse=diff.num_ray, albedo_diffuse=alb,
+              separate_albedo=True)
+
+    def loss(backend, fan, lt_, cf_):
+        return jnp.sum(ray_render_sh(
+            alb, d, al, lt_, cf_, 4, backend=backend,
+            fan_inputs=(tbn, vdt, pivots) if fan else None,
+            **kw)["out"] ** 2)
+
+    ref_fn = jax.jit(jax.value_and_grad(
+        lambda lt_, cf_: loss("xla", False, lt_, cf_), argnums=(0, 1)))
+    v_ref, (gl_ref, gc_ref) = ref_fn(lt, cf)
+
+    mesh = make_mesh(8, dp=1)
+    fan_fn = jax.jit(jax.value_and_grad(
+        lambda lt_, cf_: loss("pallas_interpret", True, lt_, cf_),
+        argnums=(0, 1)))
+    lt_s = jax.device_put(lt, batch_sharding(mesh, lt.ndim))
+    cf_s = jax.device_put(cf, replicated(mesh))
+    with jax.sharding.use_abstract_mesh(mesh.abstract_mesh):
+        v_sh, (gl_sh, gc_sh) = fan_fn(lt_s, cf_s)
+    assert np.isclose(float(v_sh), float(v_ref), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gl_sh), np.asarray(gl_ref), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(gc_sh), np.asarray(gc_ref), atol=2e-3, rtol=1e-3)
