@@ -874,6 +874,21 @@ def _slab_kernel(th, w, wpa, kc, o, slope, fuse_act, out_dtype):
     return kernel
 
 
+def _slab_kc(c: int) -> int:
+    """K extent of the slab: 3C rounded up to 128 lanes by default.
+
+    RNR_SLAB_LANE_PAD=0 keeps the raw 3C (e.g. 192 at C=64 — 25% fewer
+    K cycles IF Mosaic handles non-128-multiple lane extents in blocked
+    specs; the r3 alignment lesson was for manual ANY-space DMAs, so
+    this is probed on device rather than assumed either way).
+    """
+    import os
+
+    if os.environ.get("RNR_SLAB_LANE_PAD", "1") == "0":
+        return 3 * c
+    return _ru(3 * c, 128)
+
+
 def _make_slab(x, pad_mode):
     """[N,H,W,C] -> padded row-im2col slab [N, H, WPA, 3C] (+ wpa)."""
     n, h, width, c = x.shape
@@ -904,7 +919,7 @@ def _conv3x3_slab_fwd_impl(x, w, b, pad_mode="same", fuse_act=False,
                            interpret=False):
     n, h, width, c = x.shape
     o = w.shape[-1]
-    kc = _ru(3 * c, 128)
+    kc = _slab_kc(c)
     out_item = jnp.dtype(out_dtype).itemsize
     th = _pick_th_slab(width, kc, 3 * o, x.dtype.itemsize, out_item)
     if (_conv3x3_slab_vmem_bytes(th, width, kc, 3 * o, x.dtype.itemsize,
@@ -972,7 +987,7 @@ def _conv3x3_slab_wgrad_impl(x, g, pad_mode="same", interpret=False):
     """
     n, h, width, c = x.shape
     o = g.shape[-1]
-    kc = _ru(3 * c, 128)
+    kc = _slab_kc(c)
     no = 3 * o
     # reuse the fwd VMEM model with the g3 block standing in for yfull
     th = _pick_th_slab(width, kc, no, x.dtype.itemsize, 4)

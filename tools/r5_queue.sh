@@ -59,6 +59,12 @@ phase() {  # phase <n> <desc> <timeout_s> <cmd...>
 phase 1 "probe_r5 A-D (conv-wall control + fan/SH/slab cells)" 5400 \
   python tools/tpu_probe_r5.py --out tools/out/probe_r5.json
 
+# 1b. slab conv without the 128-lane K padding (fresh process so the
+#     jit cache can't reuse the padded trace)
+R5_SECTIONS=D RNR_SLAB_LANE_PAD=0 \
+phase 11 "probe_r5 D with RNR_SLAB_LANE_PAD=0" 3600 \
+  python tools/tpu_probe_r5.py --out tools/out/probe_r5_nolanepad.json
+
 # 2. full-step A/B over the round-5 levers
 R5_BATCH=0 R5_INFER=0 R5_1024=0 \
 phase 2 "tpu_bench_r5 step_b1 cells" 7200 \
