@@ -68,6 +68,13 @@ class RaysConfig:
     # the fan in f32 in VMEM, and skips both [N,R,3,H,W] transposes.
     # rays_dir is still built once in XLA for the U-Net input channels.
     sh_fan_fuse: bool = True
+    # How the U-Net's ray input channels are built on the SH-direct
+    # path: "elementwise" emits the [N,H,W,R*3] block directly from
+    # lane-resident broadcasts (no per-pixel batched 3x3 einsum, no
+    # swapaxes transpose — models/rays.py::build_fan_channels);
+    # "einsum" restores the RaySampler composition.  Identical math
+    # (parity-pinned to fp noise).
+    fan_impl: str = "elementwise"
 
 
 @dataclasses.dataclass(frozen=True)

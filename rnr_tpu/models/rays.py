@@ -419,3 +419,62 @@ def ray_render_sh(
         "rays_color": rays_color,
         "lp": coeff,
     }
+
+
+def build_fan_channels(
+    tbn: jax.Array,
+    vdt: jax.Array,
+    alpha: jax.Array,
+    pivots: jax.Array,
+    r_spec: int,
+):
+    """Elementwise fan builder: U-Net ray channels + rays_dir in one pass.
+
+    Computes exactly the spec-fan + diffuse-fan composition of
+    `RaySampler` (reflect around pivots * alpha, TBN transform,
+    normalize — reference network.py:445-472) as pure lane-resident
+    [N, H, W, R] broadcasts: no per-pixel batched 3x3 einsum, and the
+    U-Net's [N, H, W, R*3] input block (per-ray xyz grouping,
+    train_rnr.py:530) is emitted directly instead of via a
+    swapaxes+reshape of the [..., 3, R] tensor.
+
+    Args:
+      tbn: [N, H, W, 3, 3], vdt: [N, H, W, 3], alpha: [N, H, W, 1].
+      pivots: [R, 3] — spec fan pivots first, then diffuse.
+      r_spec: number of specular rays (reflect mode); the rest use the
+        pivots directly (diffuse mode).
+
+    Returns (net_rays [N, H, W, R*3], rays_dir [N, H, W, 3, R]).  In
+    the SH-direct training path only net_rays is consumed, so XLA DCEs
+    the rays_dir layout.
+    """
+    r_total = pivots.shape[0]
+    px = pivots[:, 0][None, None, None]
+    py = pivots[:, 1][None, None, None]
+    pz = pivots[:, 2][None, None, None]
+    vx, vy, vz = vdt[..., 0:1], vdt[..., 1:2], vdt[..., 2:3]
+    dot = vx * px + vy * py + vz * pz
+    rx = 2.0 * dot * px - vx
+    ry = 2.0 * dot * py - vy
+    rz = 2.0 * dot * pz - vz
+    # reflect normalize (cameras._normalize) then the alpha mask
+    inv = alpha / jnp.maximum(
+        jnp.sqrt(rx * rx + ry * ry + rz * rz), 1e-12
+    )
+    spec = jnp.arange(r_total) < r_spec
+    tx = jnp.where(spec, rx * inv, px)
+    ty = jnp.where(spec, ry * inv, py)
+    tz = jnp.where(spec, rz * inv, pz)
+    wx = tbn[..., 0, 0:1] * tx + tbn[..., 0, 1:2] * ty + tbn[..., 0, 2:3] * tz
+    wy = tbn[..., 1, 0:1] * tx + tbn[..., 1, 1:2] * ty + tbn[..., 1, 2:3] * tz
+    wz = tbn[..., 2, 0:1] * tx + tbn[..., 2, 1:2] * ty + tbn[..., 2, 2:3] * tz
+    inv_w = 1.0 / jnp.maximum(
+        jnp.sqrt(wx * wx + wy * wy + wz * wz), 1e-12
+    )
+    wx, wy, wz = wx * inv_w, wy * inv_w, wz * inv_w
+    n, h, w = vdt.shape[:3]
+    net_rays = jnp.stack([wx, wy, wz], axis=-1).reshape(
+        n, h, w, r_total * 3
+    )
+    rays_dir = jnp.stack([wx, wy, wz], axis=-2)
+    return net_rays, rays_dir

@@ -172,14 +172,6 @@ class RNRModel(nn.Module):
         use_sh = sh_coeff_override is not None or (
             lp_override is None and c.rays.direct_sh_shading
         )
-        rays_dir_s, rays_uv_s, _ = self.ray_sampler(
-            batch["TBN_map"], batch["view_dir_map_tangent"],
-            batch["alpha_map"], with_uv=not use_sh,
-        )
-        rays_dir_d, rays_uv_d, _ = self.ray_sampler_diffuse(
-            batch["TBN_map"], batch["view_dir_map_tangent"],
-            batch["alpha_map"], with_uv=not use_sh,
-        )
         from rnr_tpu.parallel.constraints import constrain
 
         # the [N, H, W, 3, R] ray tensors are the largest activations in
@@ -187,26 +179,57 @@ class RNRModel(nn.Module):
         # the configured ray dtype (bf16 halves their HBM traffic;
         # reductions over them accumulate in f32, see models/rays.py)
         rdt = jnp.dtype(c.rays.rays_dtype)
-        rays_dir = constrain(
-            jnp.concatenate([rays_dir_s, rays_dir_d], axis=-1).astype(rdt),
-            "dp", "sp",
+        fan_pivots = jnp.asarray(
+            np.concatenate(
+                [self.ray_sampler.pivots_dir.T,
+                 self.ray_sampler_diffuse.pivots_dir.T], axis=0
+            ).astype(np.float32)
         )
         rays_uv = None
-        if not use_sh:
-            rays_uv = constrain(
-                jnp.concatenate([rays_uv_s, rays_uv_d], axis=-1), "dp", "sp"
+        if use_sh and c.rays.fan_impl == "elementwise":
+            from rnr_tpu.models.rays import build_fan_channels
+
+            net_rays, rays_dir = build_fan_channels(
+                batch["TBN_map"], batch["view_dir_map_tangent"],
+                batch["alpha_map"], fan_pivots,
+                self.ray_sampler.num_ray,
             )
-        r_total = rays_dir.shape[-1]
+            net_rays = constrain(net_rays.astype(rdt), "dp", "sp")
+            rays_dir = constrain(rays_dir.astype(rdt), "dp", "sp")
+            r_total = rays_dir.shape[-1]
+        else:
+            rays_dir_s, rays_uv_s, _ = self.ray_sampler(
+                batch["TBN_map"], batch["view_dir_map_tangent"],
+                batch["alpha_map"], with_uv=not use_sh,
+            )
+            rays_dir_d, rays_uv_d, _ = self.ray_sampler_diffuse(
+                batch["TBN_map"], batch["view_dir_map_tangent"],
+                batch["alpha_map"], with_uv=not use_sh,
+            )
+            rays_dir = constrain(
+                jnp.concatenate([rays_dir_s, rays_dir_d], axis=-1)
+                .astype(rdt),
+                "dp", "sp",
+            )
+            if not use_sh:
+                rays_uv = constrain(
+                    jnp.concatenate([rays_uv_s, rays_uv_d], axis=-1),
+                    "dp", "sp",
+                )
+            r_total = rays_dir.shape[-1]
+            # [N,H,W,3,R] -> [N,H,W,R*3] with per-ray xyz grouping,
+            # mirroring the reference's channel order
+            # (train_rnr.py:530: rays as num_ray*3 leading channels).
+            net_rays = jnp.swapaxes(rays_dir, -1, -2).reshape(
+                n, h, w, r_total * 3
+            )
 
         # all net_in components at the ray dtype: with rdt=bf16 this is
         # numerically identical to the U-Net's own input cast (its first
         # conv computes in bf16 either way) but halves the concat bytes
         net_in = jnp.concatenate(
             [
-                # [N,H,W,3,R] -> [N,H,W,R*3] with per-ray xyz grouping,
-                # mirroring the reference's channel order
-                # (train_rnr.py:530: rays as num_ray*3 leading channels).
-                jnp.swapaxes(rays_dir, -1, -2).reshape(n, h, w, r_total * 3),
+                net_rays,
                 batch["normal_map"].astype(rdt),
                 batch["view_dir_map"].astype(rdt),
                 neural_img.astype(rdt),
@@ -228,17 +251,9 @@ class RNRModel(nn.Module):
             )
             fan_inputs = None
             if c.rays.sh_fan_fuse:
-                # fan pivots: specular fan first, then diffuse (matching
-                # the rays_dir concatenation above)
-                pivots = jnp.asarray(
-                    np.concatenate(
-                        [self.ray_sampler.pivots_dir.T,
-                         self.ray_sampler_diffuse.pivots_dir.T], axis=0
-                    ).astype(np.float32)
-                )
                 fan_inputs = (
                     batch["TBN_map"], batch["view_dir_map_tangent"],
-                    pivots,
+                    fan_pivots,
                 )
             rendered = ray_render_sh(
                 albedo_specular,

@@ -259,3 +259,22 @@ def test_fan_vmem_budget_tile_picks():
                 used = worst_case_bytes(th, w, lt_bytes, bwd)
                 assert used <= 14 * 1024 * 1024, (
                     lt_bytes, w, bwd, th, used)
+
+
+def test_build_fan_channels_matches_sampler_composition():
+    """models/rays.py::build_fan_channels == the RaySampler spec+diffuse
+    composition (rays_dir AND the U-Net channel layout)."""
+    from rnr_tpu.models.rays import RaySampler, build_fan_channels
+
+    (tbn, vdt, alpha, _, _, pivots, rays_dir_ref,
+     r_spec) = _fan_data(seed=8)
+    net_rays, rays_dir = build_fan_channels(tbn, vdt, alpha, pivots,
+                                            r_spec)
+    np.testing.assert_allclose(
+        np.asarray(rays_dir), np.asarray(rays_dir_ref), atol=2e-6)
+    n, h, w = vdt.shape[:3]
+    r_total = rays_dir_ref.shape[-1]
+    net_ref = jnp.swapaxes(rays_dir_ref, -1, -2).reshape(
+        n, h, w, r_total * 3)
+    np.testing.assert_allclose(
+        np.asarray(net_rays), np.asarray(net_ref), atol=2e-6)
