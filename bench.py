@@ -59,7 +59,8 @@ def resolve_tuned_config() -> dict:
     # whitelist: a corrupt/typo'd best_config.json must not silently
     # mis-configure the measurement
     valid = {
-        "conv_backend": {"auto", "xla", "pallas", "pallas3", "slab3"},
+        "conv_backend": {"auto", "xla", "pallas", "pallas3", "slab3",
+                         "slab"},
         "rays_dtype": {"float32", "bfloat16"},
         "gcn_dtype": {"float32", "bfloat16"},
     }

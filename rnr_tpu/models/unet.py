@@ -89,8 +89,11 @@ class Conv(nn.Module):
         from rnr_tpu.ops.backend import is_tpu_backend
         # "slab3": the row-im2col slab kernel (one [TH*W, 3C] @ [3C, 3O]
         # dot per tile — full MXU occupancy at C=O=64) for 3x3 stride-1,
-        # XLA for the 4x4 pair; candidate replacement for pallas3.
-        slab3_only = self.backend == "slab3"
+        # XLA for the 4x4 pair; "slab" additionally routes the 4x4
+        # stride-2 down conv through the slab kernel (down4s, two
+        # [4C x 2O] dots per tile); candidates replacing pallas3.
+        slab_all = self.backend == "slab"
+        slab3_only = slab_all or self.backend == "slab3"
         pallas3_only = slab3_only or self.backend == "pallas3" or (
             self.backend == "auto" and is_tpu_backend()
         )
@@ -106,6 +109,13 @@ class Conv(nn.Module):
             )
             op = conv3x3s if slab3_only else conv3x3
             return op(x, kernel, b, self.pad_mode, False, 0.2, interp)
+        if slab_all and k == 4 and self.stride == 2:
+            from rnr_tpu.ops.conv_pallas import down4s
+
+            y = down4s(x, kernel, self.pad_mode, interp)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
         if pallas_on and not pallas3_only and k == 4 and self.stride == 2:
             from rnr_tpu.ops.conv_pallas import down4
 

@@ -1086,3 +1086,138 @@ def _conv3x3s_bwd(pad_mode, fuse_act, slope, interpret, res, g):
 
 
 conv3x3s.defvjp(_conv3x3s_fwd, _conv3x3s_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Slab down conv: k4 s2 as TWO wide dots per tile
+# ---------------------------------------------------------------------------
+#
+# Same structural idea as conv3x3s applied to the encoder's 4x4 stride-2
+# conv: XLA packs the four input rows of every output row on channels
+# (slab [N, HO, W+2, 4C]) and splits columns by parity (even/odd planes,
+# the r3 "no strided 16-bit loads" rule), and the kernel runs one
+# [TH*WPA, 4C] @ [4C, 2O] dot per column-parity plane — K = 4C, N = 2O
+# (256 x 256 at the level-0 shape C=64, O=128) instead of sixteen
+# K = C, N = O taps.  Column shifts land on output slices.
+
+
+def _down4s_vmem_bytes(th, wo, kc, o, x_item, out_item):
+    wpa = _ru(wo + 1, 8)
+    xs = 2 * 2 * th * wpa * kc * x_item       # two double-buffered slabs
+    wgt = 2 * kc * 2 * o * x_item
+    yfull = th * wpa * 2 * o * 4
+    acc = th * wo * o * 4
+    out = 2 * th * wo * o * out_item
+    return xs + wgt + yfull + acc + out
+
+
+def _pick_th_down4s(wo, kc, o, x_item, out_item,
+                    budget=13 * 1024 * 1024):
+    for th in (32, 16, 8, 4, 2, 1):
+        if _down4s_vmem_bytes(th, wo, kc, o, x_item, out_item) <= budget:
+            return th
+    return 1
+
+
+def _down4s_kernel(th, wo, wpa, kc, o, out_dtype):
+    def kernel(e_ref, o_ref, we_ref, wo_ref, out_ref):
+        acc = jnp.zeros((th, wo, o), jnp.float32)
+        for plane_ref, w_ref in ((e_ref, we_ref), (o_ref, wo_ref)):
+            yfull = jnp.dot(
+                plane_ref[0].reshape(th * wpa, kc), w_ref[...],
+                preferred_element_type=jnp.float32,
+            ).reshape(th, wpa, 2 * o)
+            acc = (acc + yfull[:, 0:wo, 0:o]
+                   + yfull[:, 1:1 + wo, o:2 * o])
+        out_ref[0] = acc.astype(out_dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("pad_mode", "out_dtype", "interpret"))
+def _down4s_fwd_impl(x, w, pad_mode="same", out_dtype=jnp.bfloat16,
+                     interpret=False):
+    """k4 s2 down conv, slab formulation: x [N,H,W,C] -> [N,H/2,W/2,O]."""
+    n, h, width, c = x.shape
+    o = w.shape[-1]
+    ho, wo = h // 2, width // 2
+    kc = (4 * c if _slab_kc(c) == 3 * c else _ru(4 * c, 128))
+    out_item = jnp.dtype(out_dtype).itemsize
+    th = _pick_th_down4s(wo, kc, o, x.dtype.itemsize, out_item)
+    if _down4s_vmem_bytes(th, wo, kc, o, x.dtype.itemsize,
+                          out_item) > 13 * 1024 * 1024:
+        return _down4_fwd_impl(x, w, pad_mode=pad_mode,
+                               out_dtype=out_dtype, interpret=interpret)
+    xp = jnp.pad(
+        x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+        mode="reflect" if pad_mode == "reflect" else "constant",
+    )
+    # rows needed: 2*HO + 2 <= H + 2 always; cols: 2*WO + 2 <= W + 2
+    grid_rows = pl.cdiv(ho, th)
+    ho_pad = grid_rows * th
+    need_rows = 2 * ho_pad + 2
+    if need_rows > xp.shape[1]:
+        xp = jnp.pad(xp, ((0, 0), (0, need_rows - xp.shape[1]),
+                          (0, 0), (0, 0)))
+    # row slab: channel block dy holds xp row 2i+dy for output row i
+    slab = jnp.concatenate(
+        [xp[:, dy:dy + 2 * ho_pad:2] for dy in range(4)], axis=-1
+    )  # [N, HO_pad, W+2, 4C]
+    # column parity planes (even cols = dx 0/2, odd = dx 1/3)
+    e = slab[:, :, 0::2][:, :, :wo + 1]
+    od = slab[:, :, 1::2][:, :, :wo + 1]
+    wpa = _ru(wo + 1, 8)
+    e = jnp.pad(e, ((0, 0), (0, 0), (0, wpa - (wo + 1)),
+                    (0, kc - 4 * c)))
+    od = jnp.pad(od, ((0, 0), (0, 0), (0, wpa - (wo + 1)),
+                      (0, kc - 4 * c)))
+    # packed weights: wcatE[dy*C+c, co*O+o] = w[dy, 2*co, c, o]
+    wt = jnp.transpose(w, (0, 2, 1, 3))  # [4, C, 4, O]
+    we = jnp.pad(
+        wt[:, :, 0::2].reshape(4 * c, 2 * o), ((0, kc - 4 * c), (0, 0))
+    ).astype(x.dtype)
+    wod = jnp.pad(
+        wt[:, :, 1::2].reshape(4 * c, 2 * o), ((0, kc - 4 * c), (0, 0))
+    ).astype(x.dtype)
+    kernel = _down4s_kernel(th, wo, wpa, kc, o, jnp.dtype(out_dtype))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, grid_rows),
+        in_specs=[
+            pl.BlockSpec((1, th, wpa, kc), lambda nn, i: (nn, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wpa, kc), lambda nn, i: (nn, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, wo, o), lambda nn, i: (nn, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, ho_pad, wo, o), jnp.dtype(out_dtype)
+        ),
+        interpret=interpret,
+    )(e, od, we, wod)
+    return out[:, :ho]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def down4s(x, w, pad_mode="same", interpret=False):
+    """Slab-formulation 4x4 stride-2 conv — same contract as `down4`."""
+    return _down4s_fwd_impl(
+        x, w, pad_mode=pad_mode, out_dtype=x.dtype, interpret=interpret
+    )
+
+
+def _down4s_fwd(x, w, pad_mode, interpret):
+    return down4s(x, w, pad_mode, interpret), (x, w)
+
+
+def _down4s_bwd(pad_mode, interpret, res, g):
+    # identical adjoints to down4 (the formulations compute the same op)
+    return _down4_bwd(pad_mode, interpret, res, g)
+
+
+down4s.defvjp(_down4s_fwd, _down4s_bwd)

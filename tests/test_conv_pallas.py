@@ -521,3 +521,83 @@ class TestSlabConv:
                 used = _conv3x3_slab_vmem_bytes(th, w, kc, 3 * o,
                                                 x_item, out_item)
                 assert used <= 13 * 1024 * 1024, (w, c, o, th, used)
+
+
+class TestSlabDown4:
+    def test_forward_parity(self):
+        from rnr_tpu.ops.conv_pallas import _xla_down4, down4s
+
+        rng = np.random.default_rng(11)
+        for h, w, c, o in ((32, 32, 8, 16), (16, 24, 5, 7)):
+            x = jnp.asarray(
+                rng.standard_normal((2, h, w, c)).astype(np.float32))
+            wt = jnp.asarray(
+                (rng.standard_normal((4, 4, c, o)) * 0.2)
+                .astype(np.float32))
+            for pm in ("same", "reflect"):
+                got = down4s(x, wt, pm, True)
+                want = _xla_down4(x, wt, pm)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), atol=2e-4,
+                    err_msg=f"{h}x{w} c{c} o{o} {pm}")
+
+    def test_grads(self):
+        from rnr_tpu.ops.conv_pallas import _xla_down4, down4s
+
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(
+            rng.standard_normal((1, 16, 16, 4)).astype(np.float32))
+        wt = jnp.asarray(
+            (rng.standard_normal((4, 4, 4, 8)) * 0.2).astype(np.float32))
+        cot = jnp.asarray(
+            rng.standard_normal((1, 8, 8, 8)).astype(np.float32))
+        for pm in ("same", "reflect"):
+            gp = jax.grad(
+                lambda x_, w_: jnp.sum(
+                    down4s(x_, w_, pm, True).astype(jnp.float32) * cot),
+                argnums=(0, 1))(x, wt)
+            gx = jax.grad(
+                lambda x_, w_: jnp.sum(_xla_down4(x_, w_, pm) * cot),
+                argnums=(0, 1))(x, wt)
+            for a, e, name in zip(gp, gx, ("dx", "dw")):
+                scale = np.abs(np.asarray(e)).max() + 1e-6
+                np.testing.assert_allclose(
+                    np.asarray(a) / scale, np.asarray(e) / scale,
+                    rtol=0, atol=3e-2, err_msg=f"{pm} {name}")
+
+    def test_vmem_budget(self):
+        from rnr_tpu.ops.conv_pallas import (
+            _down4s_vmem_bytes, _pick_th_down4s, _ru,
+        )
+
+        for wo, c, o in ((256, 64, 128), (128, 128, 256), (64, 256, 512),
+                         (32, 512, 512), (512, 108, 64)):
+            kc = _ru(4 * c, 128)
+            for x_item, out_item in ((2, 2), (2, 4)):
+                th = _pick_th_down4s(wo, kc, o, x_item, out_item)
+                used = _down4s_vmem_bytes(th, wo, kc, o, x_item, out_item)
+                assert used <= 13 * 1024 * 1024, (wo, c, o, th, used)
+
+
+def test_slab_backend_routing():
+    """backend='slab3' keeps the XLA 4x4 path (like pallas3); 'slab'
+    additionally routes the down conv through down4s."""
+    import jax
+
+    from rnr_tpu.models.unet import Conv
+    from rnr_tpu.ops.backend import use_pallas
+
+    assert not use_pallas("slab3")
+    assert not use_pallas("slab")
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 8)).astype(np.float32))
+
+    m_x = Conv(features=8, kernel_size=4, stride=2, backend="xla",
+               pad_mode="same")
+    m_s3 = Conv(features=8, kernel_size=4, stride=2, backend="slab3",
+                pad_mode="same")
+    v = m_x.init(jax.random.PRNGKey(0), x)
+    # slab3: 4x4 IS the xla path -> byte-identical
+    np.testing.assert_array_equal(
+        np.asarray(m_x.apply(v, x)), np.asarray(m_s3.apply(v, x)))

@@ -94,7 +94,8 @@ def main():
 
     if int(os.environ.get("R5_STEP", 1)):
         cells_env = os.environ.get(
-            "R5_STEP_CELLS", "slab3:fan,pallas3:fan,pallas3:nofan,xla:fan")
+            "R5_STEP_CELLS",
+            "slab3:fan,slab:fan,pallas3:fan,pallas3:nofan,xla:fan")
         rows = {}
         for cell in cells_env.split(","):
             conv, fan_s = cell.split(":")

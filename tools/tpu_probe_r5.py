@@ -391,16 +391,69 @@ def section_d():
             print(key, RESULTS["cells"][key], flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Section E: 4x4 stride-2 down conv — parity-tap vs slab vs XLA
+# ---------------------------------------------------------------------------
+
+def section_e():
+    from rnr_tpu.ops.conv_pallas import _xla_down4, down4, down4s
+
+    rng = np.random.default_rng(4)
+    chain = 4
+    for s, c, o in ((512, 64, 128), (256, 128, 256)):
+        x = jnp.asarray(
+            rng.standard_normal((1, s, s, c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w1 = jnp.asarray(
+            (rng.standard_normal((4, 4, c, o)) * 0.1).astype(np.float32))
+        # chain alternates down + 1x1-ish reshape? keep it simple: o->o
+        w2 = jnp.asarray(
+            (rng.standard_normal((4, 4, o, o)) * 0.1).astype(np.float32))
+        # FLOPs: down halves H,W each link
+        flops = 0.0
+        hh = s
+        cc, oo = c, o
+        for i in range(chain):
+            hh //= 2
+            flops += 2.0 * hh * hh * 16 * cc * oo
+            cc, oo = o, o
+
+        def make(op):
+            @jax.jit
+            def f(x):
+                y = op(x, w1, "reflect", False)
+                for _ in range(chain - 1):
+                    y = op(y, w2, "reflect", False)
+                return y
+            return f
+
+        @jax.jit
+        def xla_chain(x):
+            y = _xla_down4(x, w1, "reflect")
+            for _ in range(chain - 1):
+                y = _xla_down4(y, w2, "reflect")
+            return y
+
+        for name, f in (("tap", make(down4)), ("slab", make(down4s)),
+                        ("xla", xla_chain)):
+            ms = timeit(f, x, iters=20)
+            tfs = flops / (ms * 1e-3) / 1e12
+            key = f"E_down4_{name}_s{s}_c{c}_o{o}"
+            RESULTS["cells"][key] = {"fwd_ms": round(ms, 3),
+                                     "tflops_s": round(tfs, 2)}
+            print(key, RESULTS["cells"][key], flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="tools/out/probe_r5.json")
     args = ap.parse_args()
-    sections = os.environ.get("R5_SECTIONS", "A,B,C,D").split(",")
+    sections = os.environ.get("R5_SECTIONS", "A,B,C,D,E").split(",")
     RESULTS["backend"] = jax.default_backend()
     print("backend:", RESULTS["backend"], flush=True)
     for s in sections:
         {"A": section_a, "B": section_b, "C": section_c,
-         "D": section_d}[s.strip()]()
+         "D": section_d, "E": section_e}[s.strip()]()
         with open(args.out, "w") as f:
             json.dump(RESULTS, f, indent=1)
     print("wrote", args.out, flush=True)
