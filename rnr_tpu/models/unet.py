@@ -164,7 +164,11 @@ class ConvTranspose(nn.Module):
 
         dt = self.dtype or x.dtype
         x = x.astype(dt)
-        if use_pallas(self.backend) and self.backend != "auto":
+        if self.backend == "slab":
+            from rnr_tpu.ops.conv_pallas import convt4s
+
+            y = convt4s(x, kernel, pallas_interpret(self.backend))
+        elif use_pallas(self.backend) and self.backend != "auto":
             from rnr_tpu.ops.conv_pallas import convt4
 
             y = convt4(x, kernel, pallas_interpret(self.backend))

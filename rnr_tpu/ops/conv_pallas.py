@@ -1221,3 +1221,138 @@ def _down4s_bwd(pad_mode, interpret, res, g):
 
 
 down4s.defvjp(_down4s_fwd, _down4s_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Slab transpose conv: k4 s2 SAME as FOUR wide dots per tile
+# ---------------------------------------------------------------------------
+#
+# Decoder counterpart of down4s.  Per output parity (a, b) the transpose
+# conv is a 2x2 correlation on the ring-padded input (see _convt4_kernel
+# for the tap identity); the slab formulation packs the two input rows of
+# each output row on channels (two slabs: row offsets (0,1) for a=0 and
+# (1,2) for a=1) and the two column taps on the N dimension — one
+# [TH*WPA, 2C] @ [2C, 2O] dot per parity instead of four K=C, N=O taps.
+
+
+def _convt4s_vmem_bytes(th, wi, kc, o, x_item, out_item):
+    wpa = _ru(wi + 2, 8)
+    xs = 2 * 2 * th * wpa * kc * x_item      # two double-buffered slabs
+    wgt = 4 * kc * 2 * o * x_item
+    yfull = 2 * th * wpa * 2 * o * 4
+    outs = 4 * 2 * th * wi * o * out_item
+    return xs + wgt + yfull + outs
+
+
+def _pick_th_convt4s(wi, kc, o, x_item, out_item,
+                     budget=13 * 1024 * 1024):
+    for th in (32, 16, 8, 4, 2, 1):
+        if _convt4s_vmem_bytes(th, wi, kc, o, x_item, out_item) <= budget:
+            return th
+    return 1
+
+
+def _convt4s_kernel(th, wi, wpa, kc, o, out_dtype):
+    def kernel(s0_ref, s1_ref, w00_ref, w01_ref, w10_ref, w11_ref,
+               o00_ref, o01_ref, o10_ref, o11_ref):
+        slabs = (s0_ref, s1_ref)
+        w_refs = ((w00_ref, w01_ref), (w10_ref, w11_ref))
+        out_refs = ((o00_ref, o01_ref), (o10_ref, o11_ref))
+        for a in range(2):
+            slab = slabs[a][0].reshape(th * wpa, kc)
+            for b in range(2):
+                yfull = jnp.dot(
+                    slab, w_refs[a][b][...],
+                    preferred_element_type=jnp.float32,
+                ).reshape(th, wpa, 2 * o)
+                acc = (yfull[:, b:b + wi, 0:o]
+                       + yfull[:, b + 1:b + 1 + wi, o:2 * o])
+                out_refs[a][b][0] = acc.astype(out_dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def _convt4s_fwd_impl(x, w, out_dtype=jnp.bfloat16, interpret=False):
+    """k4 s2 SAME transpose conv, slab formulation:
+    x [N,H,W,C], w [4,4,C,O] -> [N,2H,2W,O]."""
+    n, h, width, c = x.shape
+    o = w.shape[-1]
+    kc = (2 * c if _slab_kc(c) == 3 * c else _ru(2 * c, 128))
+    out_item = jnp.dtype(out_dtype).itemsize
+    th = _pick_th_convt4s(width, kc, o, x.dtype.itemsize, out_item)
+    if _convt4s_vmem_bytes(th, width, kc, o, x.dtype.itemsize,
+                           out_item) > 13 * 1024 * 1024:
+        return _convt4_fwd_impl(x, w, out_dtype=out_dtype,
+                                interpret=interpret)
+    xq = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    grid_rows = pl.cdiv(h, th)
+    rr = grid_rows * th
+    if rr + 2 > xq.shape[1]:
+        xq = jnp.pad(xq, ((0, 0), (0, rr + 2 - xq.shape[1]),
+                          (0, 0), (0, 0)))
+    slab0 = jnp.concatenate([xq[:, 0:rr], xq[:, 1:rr + 1]], axis=-1)
+    slab1 = jnp.concatenate([xq[:, 1:rr + 1], xq[:, 2:rr + 2]], axis=-1)
+    wpa = _ru(width + 2, 8)
+    pad_spec = ((0, 0), (0, 0), (0, wpa - (width + 2)), (0, kc - 2 * c))
+    slab0 = jnp.pad(slab0, pad_spec)
+    slab1 = jnp.pad(slab1, pad_spec)
+    # wcat_ab[ro*C+c, j*O+o] = w[2*ro+a, 2*j+b, c, o]
+    wt = jnp.transpose(w, (0, 2, 1, 3))  # [4(row), C, 4(col), O]
+    wcats = []
+    for a in range(2):
+        for b in range(2):
+            wc = jnp.stack([wt[2 * 0 + a, :, 2 * 0 + b],
+                            wt[2 * 0 + a, :, 2 * 1 + b]], axis=1)
+            wc2 = jnp.stack([wt[2 * 1 + a, :, 2 * 0 + b],
+                             wt[2 * 1 + a, :, 2 * 1 + b]], axis=1)
+            cat = jnp.concatenate(
+                [wc.reshape(c, 2 * o), wc2.reshape(c, 2 * o)], axis=0)
+            wcats.append(
+                jnp.pad(cat, ((0, kc - 2 * c), (0, 0))).astype(x.dtype))
+    kernel = _convt4s_kernel(th, width, wpa, kc, o, jnp.dtype(out_dtype))
+    slab_spec = pl.BlockSpec((1, th, wpa, kc), lambda nn, i: (nn, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    par_spec = pl.BlockSpec((1, th, width, o), lambda nn, i: (nn, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    par_shape = jax.ShapeDtypeStruct((n, rr, width, o),
+                                     jnp.dtype(out_dtype))
+    o00, o01, o10, o11 = pl.pallas_call(
+        kernel,
+        grid=(n, grid_rows),
+        in_specs=[slab_spec, slab_spec]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[par_spec] * 4,
+        out_shape=[par_shape] * 4,
+        interpret=interpret,
+    )(slab0, slab1, *wcats)
+    y = jnp.stack(
+        [jnp.stack([o00, o01], axis=3), jnp.stack([o10, o11], axis=3)],
+        axis=2,
+    )
+    out = y.reshape(n, rr * 2, 2 * width, o)
+    return out[:, :2 * h]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def convt4s(x, w, interpret=False):
+    """Slab-formulation 4x4 stride-2 SAME transpose conv."""
+    return _convt4s_fwd_impl(x, w, out_dtype=x.dtype, interpret=interpret)
+
+
+def _convt4s_fwd(x, w, interpret):
+    return convt4s(x, w, interpret), (x, w)
+
+
+def _convt4s_bwd(interpret, res, g):
+    x, w = res
+    wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = _down4s_fwd_impl(
+        g.astype(x.dtype), wt, out_dtype=jnp.float32, interpret=interpret
+    ).astype(x.dtype)
+    _, wgrad = jax.vjp(lambda w_: _xla_convt4(x, w_), w)
+    (dw,) = wgrad(g.astype(x.dtype))
+    return dx, dw.astype(w.dtype)
+
+
+convt4s.defvjp(_convt4s_fwd, _convt4s_bwd)

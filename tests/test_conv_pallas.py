@@ -601,3 +601,57 @@ def test_slab_backend_routing():
     # slab3: 4x4 IS the xla path -> byte-identical
     np.testing.assert_array_equal(
         np.asarray(m_x.apply(v, x)), np.asarray(m_s3.apply(v, x)))
+
+
+class TestSlabConvT4:
+    def test_forward_parity(self):
+        from rnr_tpu.ops.conv_pallas import _xla_convt4, convt4s
+
+        rng = np.random.default_rng(13)
+        for h, w, c, o in ((16, 16, 8, 4), (8, 24, 5, 7)):
+            x = jnp.asarray(
+                rng.standard_normal((2, h, w, c)).astype(np.float32))
+            wt = jnp.asarray(
+                (rng.standard_normal((4, 4, c, o)) * 0.2)
+                .astype(np.float32))
+            np.testing.assert_allclose(
+                np.asarray(convt4s(x, wt, True)),
+                np.asarray(_xla_convt4(x, wt)), atol=2e-4,
+                err_msg=f"{h}x{w} c{c} o{o}")
+
+    def test_grads(self):
+        from rnr_tpu.ops.conv_pallas import _xla_convt4, convt4s
+
+        rng = np.random.default_rng(14)
+        x = jnp.asarray(
+            rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+        wt = jnp.asarray(
+            (rng.standard_normal((4, 4, 4, 8)) * 0.2).astype(np.float32))
+        cot = jnp.asarray(
+            rng.standard_normal((1, 16, 16, 8)).astype(np.float32))
+        gp = jax.grad(
+            lambda x_, w_: jnp.sum(
+                convt4s(x_, w_, True).astype(jnp.float32) * cot),
+            argnums=(0, 1))(x, wt)
+        gx = jax.grad(
+            lambda x_, w_: jnp.sum(_xla_convt4(x_, w_) * cot),
+            argnums=(0, 1))(x, wt)
+        for a, e, name in zip(gp, gx, ("dx", "dw")):
+            scale = np.abs(np.asarray(e)).max() + 1e-6
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(e) / scale,
+                rtol=0, atol=3e-2, err_msg=name)
+
+    def test_vmem_budget(self):
+        from rnr_tpu.ops.conv_pallas import (
+            _convt4s_vmem_bytes, _pick_th_convt4s, _ru,
+        )
+
+        for wi, c, o in ((16, 512, 512), (32, 512, 256), (64, 256, 128),
+                         (256, 128, 64), (512, 64, 64)):
+            kc = _ru(2 * c, 128)
+            for x_item, out_item in ((2, 2), (2, 4)):
+                th = _pick_th_convt4s(wi, kc, o, x_item, out_item)
+                used = _convt4s_vmem_bytes(th, wi, kc, o, x_item,
+                                           out_item)
+                assert used <= 13 * 1024 * 1024, (wi, c, o, th, used)

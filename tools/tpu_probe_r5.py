@@ -443,6 +443,30 @@ def section_e():
                                      "tflops_s": round(tfs, 2)}
             print(key, RESULTS["cells"][key], flush=True)
 
+    # transpose conv: tap (parity outputs) vs slab vs XLA, decoder shapes
+    from rnr_tpu.ops.conv_pallas import _xla_convt4, convt4, convt4s
+
+    for s, c, o in ((64, 512, 256), (256, 128, 64)):
+        x = jnp.asarray(
+            rng.standard_normal((1, s, s, c)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w1 = jnp.asarray(
+            (rng.standard_normal((4, 4, c, o)) * 0.1).astype(np.float32))
+        flops = 2.0 * (2 * s) * (2 * s) * 4 * c * o  # 4 useful taps/outpx
+
+        for name, op in (("tap", convt4), ("slab", convt4s),
+                         ("xla", _xla_convt4)):
+            if name == "xla":
+                f = jax.jit(lambda x_: _xla_convt4(x_, w1))
+            else:
+                f = jax.jit(lambda x_, op=op: op(x_, w1))
+            ms = timeit(f, x, iters=20)
+            tfs = flops / (ms * 1e-3) / 1e12
+            key = f"E_convt4_{name}_s{s}_c{c}_o{o}"
+            RESULTS["cells"][key] = {"fwd_ms": round(ms, 3),
+                                     "tflops_s": round(tfs, 2)}
+            print(key, RESULTS["cells"][key], flush=True)
+
 
 def main():
     ap = argparse.ArgumentParser()

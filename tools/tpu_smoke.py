@@ -641,6 +641,37 @@ def _slab_conv_gate(gates, jax, jnp, _sync):
         ok = ok and rows[key]["pass"]
         print(f"conv3x3_slab[{key}] fwd {t_p*1e3:6.2f} ms rel {rel:.4f} "
               f"wgrad rel {wrel:.4f}", flush=True)
+
+    # 4x4 slab pair: down4s + convt4s vs the XLA ops
+    from rnr_tpu.ops.conv_pallas import (
+        _xla_convt4, _xla_down4, convt4s, down4s,
+    )
+
+    xd = jnp.asarray(
+        rng.standard_normal((1, 256, 256, 64)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    wd = jnp.asarray(
+        (rng.standard_normal((4, 4, 64, 128)) / 32.0).astype(np.float32))
+    yd = np.asarray(jax.jit(
+        lambda x_: down4s(x_, wd, "reflect"))(xd).astype(jnp.float32))
+    ydx = np.asarray(_xla_down4(xd, wd, "reflect"), np.float32)
+    rel_d = float(np.max(np.abs(yd - ydx)) / (np.max(np.abs(ydx)) + 1e-9))
+    xt = jnp.asarray(
+        rng.standard_normal((1, 64, 64, 128)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    wtt = jnp.asarray(
+        (rng.standard_normal((4, 4, 128, 64)) / 32.0).astype(np.float32))
+    yt = np.asarray(jax.jit(
+        lambda x_: convt4s(x_, wtt))(xt).astype(jnp.float32))
+    ytx = np.asarray(_xla_convt4(xt, wtt), np.float32)
+    rel_t = float(np.max(np.abs(yt - ytx)) / (np.max(np.abs(ytx)) + 1e-9))
+    pair_ok = rel_d < 3e-2 and rel_t < 3e-2
+    rows["down4s_convt4s"] = {"down4s_rel_err": round(rel_d, 6),
+                              "convt4s_rel_err": round(rel_t, 6),
+                              "pass": bool(pair_ok)}
+    ok = ok and pair_ok
+    print(f"down4s rel {rel_d:.4f}  convt4s rel {rel_t:.4f} "
+          f"({'OK' if pair_ok else 'FAIL'})", flush=True)
     gates["conv3x3_slab"] = {"pass": bool(ok), **rows}
 
 
