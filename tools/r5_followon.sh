@@ -1,0 +1,62 @@
+#!/bin/bash
+# Round-5 follow-on: re-run the probe sections that crashed in phase 1
+# (D fwd+bwd chains + E down/transpose cells; the XLA control's VJP
+# dtype bug is fixed in tpu_probe_r5.py).  Waits for the main queue to
+# finish so there is never more than one TPU client.
+#
+#   nohup tools/r5_followon.sh > /dev/null 2>&1 &
+#
+# Log: /tmp/r5f.log   Done flag: /tmp/r5f_done.flag
+
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+LOG=/tmp/r5f.log
+echo "=== r5 followon start $(date) ===" >> "$LOG"
+
+until [ -f /tmp/r5q_done.flag ]; do sleep 120; done
+echo "queue done, starting $(date)" >> "$LOG"
+
+probe() {
+  timeout 2100 python -c "
+import jax, jax.numpy as jnp
+print('probe ok:', float(jnp.sum(jnp.ones((8,8)))))
+" >> "$LOG" 2>&1
+}
+until probe; do
+  echo "tunnel down $(date); sleep 600" >> "$LOG"
+  sleep 600
+done
+
+phase() {  # phase <n> <desc> <timeout_s> <cmd...>
+  local n="$1"; shift
+  local desc="$1"; shift
+  local to="$1"; shift
+  if [ -f "/tmp/r5f_phase_${n}.done" ]; then
+    echo "phase $n ($desc) already done, skip" >> "$LOG"
+    return 0
+  fi
+  echo "--- phase $n: $desc $(date) ---" >> "$LOG"
+  timeout "$to" "$@" >> "$LOG" 2>&1
+  local rc=$?
+  echo "phase $n rc=$rc $(date)" >> "$LOG"
+  [ $rc -eq 0 ] && touch "/tmp/r5f_phase_${n}.done"
+  git add -A >> "$LOG" 2>&1
+  git commit -q -m "r5 followon: $desc (rc=$rc)" >> "$LOG" 2>&1 || true
+  until probe; do
+    echo "tunnel down after phase $n $(date); sleep 600" >> "$LOG"
+    sleep 600
+  done
+  return $rc
+}
+
+R5_SECTIONS=D,E \
+phase 1 "probe_r5 D,E (conv chains fwd+bwd, down4/convt4 cells)" 5400 \
+  python tools/tpu_probe_r5.py --out tools/out/probe_r5_de.json
+
+R5_SECTIONS=D RNR_SLAB_LANE_PAD=0 \
+phase 2 "probe_r5 D with RNR_SLAB_LANE_PAD=0" 4800 \
+  python tools/tpu_probe_r5.py --out tools/out/probe_r5_nolanepad.json
+
+echo "=== r5 followon done $(date) ===" >> "$LOG"
+date > /tmp/r5f_done.flag

@@ -316,12 +316,15 @@ def section_d():
     from rnr_tpu.ops.conv_pallas import conv3x3, conv3x3s
 
     def xla_conv(x, w, b):
+        # all-bf16 operands and output: preferred_element_type=f32 breaks
+        # the VJP (f32 cotangent vs bf16 weights — conv_general_dilated
+        # requires matching dtypes; see conv_pallas.py:324).  The MXU
+        # accumulates bf16 convs in f32 internally either way.
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
         return (jax.lax.conv_general_dilated(
             xp, w.astype(x.dtype), (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ) + b[None, None, None, :]).astype(x.dtype)
+        ) + b.astype(x.dtype)[None, None, None, :])
 
     rng = np.random.default_rng(3)
     shapes = [(512, 108, 64), (512, 64, 64), (256, 128, 128),
