@@ -58,5 +58,12 @@ R5_SECTIONS=D RNR_SLAB_LANE_PAD=0 \
 phase 2 "probe_r5 D with RNR_SLAB_LANE_PAD=0" 4800 \
   python tools/tpu_probe_r5.py --out tools/out/probe_r5_nolanepad.json
 
+# kernel gates re-run: the r5q phase-5 run failed on (a) the slab gate's
+# XLA wgrad-oracle dtype bug and (b) the fan gate scoring against the
+# bf16-ray-corrupted base; both fixed in tpu_smoke.py
+KERNELS_JSON=KERNELS_r05.json \
+phase 3 "tpu_smoke kernel gates re-run -> KERNELS_r05.json" 4200 \
+  python tools/tpu_smoke.py
+
 echo "=== r5 followon done $(date) ===" >> "$LOG"
 date > /tmp/r5f_done.flag

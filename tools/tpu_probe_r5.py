@@ -254,7 +254,8 @@ def section_c():
                        mode="diffuse")
     rd_s, _, _ = spec(tbn, vdt, alpha, with_uv=False)
     rd_d, _, _ = diffs(tbn, vdt, alpha, with_uv=False)
-    rays_dir = jnp.concatenate([rd_s, rd_d], axis=-1).astype(jnp.bfloat16)
+    rays_dir32 = jnp.concatenate([rd_s, rd_d], axis=-1)
+    rays_dir = rays_dir32.astype(jnp.bfloat16)
     r_total = rays_dir.shape[-1]
     r_spec = spec.num_ray
     lt = jnp.asarray(
@@ -268,10 +269,15 @@ def section_c():
 
     base_f = jax.jit(
         lambda lt_: sh_shade(rays_dir, lt_, alpha, coeff, lmax, r_spec))
+    base32_f = jax.jit(
+        lambda lt_: sh_shade(rays_dir32, lt_, alpha, coeff, lmax, r_spec))
     fan_f = jax.jit(
         lambda lt_: sh_shade_fan(tbn, vdt, alpha, lt_, coeff, pivots,
                                  lmax, r_spec))
-    a = base_f(lt)
+    # parity vs the f32-rays base: the bf16-ray base carries ~8% of its
+    # own quantization error through the lmax=10 basis (see tpu_smoke
+    # _sh_fan_gate); the fan kernel builds directions in f32
+    a = base32_f(lt)
     b = fan_f(lt)
     RESULTS["cells"]["C_fan_kernel_rel_err"] = float(
         np.abs(np.asarray(a[0]) - np.asarray(b[0])).max()

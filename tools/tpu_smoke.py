@@ -521,7 +521,13 @@ def _sh_fan_gate(gates, jax, jnp, _sync):
                       mode="diffuse")
     rd_s, _, _ = spec(tbn, vdt, al, with_uv=False)
     rd_d, _, _ = diff(tbn, vdt, al, with_uv=False)
-    rays_dir = jnp.concatenate([rd_s, rd_d], axis=-1).astype(jnp.bfloat16)
+    # f32 rays for the parity oracle: the shipped base path quantizes
+    # rays to bf16 (--rays_dtype), and the lmax=10 basis amplifies that
+    # ~0.4% direction error to ~8% pointwise (measured on CPU) — the fan
+    # kernel computes directions in f32 in-kernel, so it must be scored
+    # against the f32 base, not the bf16-corrupted one.
+    rays_dir32 = jnp.concatenate([rd_s, rd_d], axis=-1)
+    rays_dir = rays_dir32.astype(jnp.bfloat16)
     lt = jnp.asarray(
         rng.uniform(0, 2, (1, S2, S2, 26, 3)).astype(np.float32)
     ).astype(jnp.bfloat16)
@@ -532,12 +538,20 @@ def _sh_fan_gate(gates, jax, jnp, _sync):
 
     base = jax.jit(lambda lt_: sh_shade(rays_dir, lt_, al, cf, 10,
                                         r_spec))
+    base32 = jax.jit(lambda lt_: sh_shade(rays_dir32, lt_, al, cf, 10,
+                                          r_spec))
     fan = jax.jit(lambda lt_: sh_shade_fan(tbn, vdt, al, lt_, cf,
                                            pivots, 10, r_spec))
-    a, b = base(lt), fan(lt)
-    _sync(a[0]); _sync(b[0])
+    a, b = base32(lt), fan(lt)
+    a16 = base(lt)
+    _sync(a[0]); _sync(b[0]); _sync(a16[0])
     rel = float(np.max(np.abs(np.asarray(a[0]) - np.asarray(b[0])))
                 / (np.max(np.abs(np.asarray(a[0]))) + 1e-9))
+    # documented, not gated: how far the shipped bf16-ray base path sits
+    # from the f32 oracle (the fan kernel removes this quantization)
+    rel_bf16_base = float(
+        np.max(np.abs(np.asarray(a[0]) - np.asarray(a16[0])))
+        / (np.max(np.abs(np.asarray(a[0]))) + 1e-9))
 
     def t5(f, *args):
         out = f(*args)
@@ -551,7 +565,7 @@ def _sh_fan_gate(gates, jax, jnp, _sync):
     t_base, t_fan = t5(base, lt), t5(fan, lt)
 
     gb = jax.jit(jax.grad(lambda lt_, cf_: jnp.sum(
-        sh_shade(rays_dir, lt_, al, cf_, 10, r_spec)[0] ** 2),
+        sh_shade(rays_dir32, lt_, al, cf_, 10, r_spec)[0] ** 2),
         argnums=(0, 1)))
     gf = jax.jit(jax.grad(lambda lt_, cf_: jnp.sum(
         sh_shade_fan(tbn, vdt, al, lt_, cf_, pivots, 10, r_spec)[0] ** 2),
@@ -566,7 +580,12 @@ def _sh_fan_gate(gates, jax, jnp, _sync):
         np.max(np.abs(np.asarray(gcf) - np.asarray(gcb)))
         / (np.max(np.abs(np.asarray(gcb))) + 1e-9),
     ))
-    t_bb, t_bf = t5(lambda: gb(lt, cf)), t5(lambda: gf(lt, cf))
+    # time the SHIPPED base path (bf16 rays), not the f32 parity oracle
+    gb16 = jax.jit(jax.grad(lambda lt_, cf_: jnp.sum(
+        sh_shade(rays_dir, lt_, al, cf_, 10, r_spec)[0] ** 2),
+        argnums=(0, 1)))
+    gb16(lt, cf)
+    t_bb, t_bf = t5(lambda: gb16(lt, cf)), t5(lambda: gf(lt, cf))
     finite = bool(np.isfinite(np.asarray(glf, np.float32)).all()
                   and np.isfinite(np.asarray(gcf)).all())
     print(f"sh_shade_fan 512^2/26rays  fwd {t_fan*1e3:7.1f} ms (base "
@@ -578,7 +597,8 @@ def _sh_fan_gate(gates, jax, jnp, _sync):
     # are expected and bounded
     gates["sh_shade_fan"] = {
         "pass": bool(rel < 2e-2 and grad_rel < 2e-2 and finite),
-        "rel_err_vs_bf16fan": round(rel, 6),
+        "rel_err_vs_f32base": round(rel, 6),
+        "bf16_rays_base_rel_err": round(rel_bf16_base, 6),
         "grad_rel_err": round(grad_rel, 6),
         "fwd_ms": round(t_fan * 1e3, 2),
         "base_fwd_ms": round(t_base * 1e3, 2),
@@ -628,8 +648,10 @@ def _slab_conv_gate(gates, jax, jnp, _sync):
         gw_p = jax.jit(jax.grad(lambda w_: jnp.sum(
             conv3x3s(x, w_, b, "reflect", False, 0.2, False)
             .astype(jnp.float32) ** 2)))(w)
+        # all-f32 operands in the grad oracle: bf16 x + f32 cotangent
+        # breaks conv_general_dilated's VJP (see conv_pallas.py:324)
         gw_x = jax.jit(jax.grad(lambda w_: jnp.sum(
-            xla_ref(x, w_) ** 2)))(w)
+            xla_ref(x.astype(jnp.float32), w_) ** 2)))(w)
         _sync(gw_p)
         wrel = float(np.max(np.abs(np.asarray(gw_p) - np.asarray(gw_x)))
                      / (np.max(np.abs(np.asarray(gw_x))) + 1e-9))
