@@ -42,6 +42,18 @@ def render() -> str:
     prev = (_load(bench_paths[-2])["parsed"]
             if len(bench_paths) > 1 else None)
     rnd = int(re.search(r"BENCH_r(\d+)", bench_paths[-1]).group(1))
+    bench_src = os.path.basename(bench_paths[-1])
+    # mid-round: the queue's bench.py preview is the same canonical
+    # measurement, produced before the driver writes BENCH_r{N}.json —
+    # prefer it when it is from a NEWER round than the newest BENCH
+    pv = _newest("tools/out/bench_preview_r*.json")
+    if pv:
+        pr = int(re.search(r"bench_preview_r(\d+)", pv).group(1))
+        if pr > rnd:
+            prev = bench
+            bench = _load(pv)
+            rnd = pr
+            bench_src = f"tools/out/{os.path.basename(pv)}"
     kern = _load(_newest("KERNELS_r*.json"))["gates"]
     tb = _load(_newest("tools/out/tpu_bench_r*.json"))
 
@@ -126,7 +138,7 @@ def render() -> str:
            f"7500 verts) | Round {rnd} | Prior |")
     lines = [
         BEGIN,
-        f"Source artifacts: `{os.path.basename(bench_paths[-1])}` "
+        f"Source artifacts: `{bench_src}` "
         f"(canonical headline), `{os.path.basename(_newest('KERNELS_r*.json'))}` "
         f"(kernel gates, all_pass="
         f"{str(_load(_newest('KERNELS_r*.json'))['all_pass']).lower()}), "

@@ -50,6 +50,10 @@ def main() -> None:
     p.add_argument("--lower_only", action="store_true",
                    help="skip execution; emit per-step collective bytes "
                         "+ the ICI time model only")
+    p.add_argument("--pad_mode", type=str, default="reflect",
+                   help="comma list of U-Net pad modes to sweep; "
+                        "'same' removes the reflect-pad reshard "
+                        "all-to-alls from the sharded program")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--t1_ms", type=float, default=None,
                    help="single-chip step time for the ICI efficiency "
@@ -71,7 +75,8 @@ def main() -> None:
     from rnr_tpu.train.steps import rnr_texture_flatten_init
 
     results = []
-    for n in counts:
+    pad_modes = [s.strip() for s in opt.pad_mode.split(",")]
+    for n, pm in [(n_, pm_) for pm_ in pad_modes for n_ in counts]:
         if n > len(jax.devices()):
             print(f"skip n={n}: only {len(jax.devices())} devices")
             continue
@@ -80,13 +85,13 @@ def main() -> None:
             cfg, model, batch = _build(
                 img_size=opt.img, tex_size=512, lmax=10, num_sample=4096,
                 nf0=64, num_down=5, gcn_blocks=20, gcn_v=7500,
-                num_azi=6, num_polar=2, batch=dp,
+                num_azi=6, num_polar=2, batch=dp, pad_mode=pm,
             )
         else:
             cfg, model, batch = _build(
                 img_size=opt.img, tex_size=64, lmax=2, num_sample=128,
                 nf0=16, num_down=4, gcn_blocks=4, gcn_v=1024,
-                num_azi=6, num_polar=2, batch=dp,
+                num_azi=6, num_polar=2, batch=dp, pad_mode=pm,
             )
         state, tx = create_rnr_state(
             model, jax.random.PRNGKey(0), batch, cfg.train.lr
@@ -142,7 +147,7 @@ def main() -> None:
             mesh = make_mesh(n, dp=dp)
             step = make_sharded_rnr_train_step(model, tx, mesh)
         if opt.lower_only:
-            row = {"devices": n, "lower_only": True}
+            row = {"devices": n, "lower_only": True, "pad_mode": pm}
             if n > 1 and not opt.eval:
                 from rnr_tpu.parallel.hlo_stats import (
                     step_collective_stats,
@@ -185,7 +190,7 @@ def main() -> None:
             float(jnp.sum(batch["alpha_map"][0])) * 2 * (6 * 2 + 1) * dp
         )
         rps = rays * opt.steps / dt
-        row = {"devices": n, "rays_per_s": round(rps)}
+        row = {"devices": n, "rays_per_s": round(rps), "pad_mode": pm}
         # per-step collective accounting (VERDICT r3 item 9): bytes on
         # the wire from the compiled SPMD program, so the >=85% ICI
         # efficiency target is a calculation, not a hope — meaningful
@@ -220,10 +225,14 @@ def main() -> None:
               f"{rps:,.0f} rays/s")
 
     if results and not opt.lower_only:
-        base = results[0]["rays_per_s"] / results[0]["devices"]
+        base_by_pm = {}
+        for r in results:
+            base_by_pm.setdefault(
+                r["pad_mode"], r["rays_per_s"] / r["devices"])
         for r in results:
             r["efficiency"] = round(
-                r["rays_per_s"] / (base * r["devices"]), 3
+                r["rays_per_s"]
+                / (base_by_pm[r["pad_mode"]] * r["devices"]), 3
             )
 
     # --- ICI time model (VERDICT r4 item 4) -------------------------------
