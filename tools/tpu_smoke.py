@@ -421,11 +421,19 @@ def _sh_gate(gates, jax, jnp, _sync):
             alb6, d6, al6, lt6, cf6, 10, backend=backend, **kw6)["out"])
         out = f()
         _sync(out)
-        t0 = time.perf_counter()
+        # min of per-call synced timings — same discipline as the grad
+        # cell below; the mean-of-5-one-sync pattern reported 45 ms for
+        # a kernel whose fwd+bwd is 35 ms (r5 queue run: queue-drain
+        # variance lands in whichever call the sync follows)
+        ts = []
         for _ in range(5):
+            t0 = time.perf_counter()
             out = f()
-        _sync(out)
-        return np.asarray(out), (time.perf_counter() - t0) / 5
+            _sync(out)
+            ts.append(time.perf_counter() - t0)
+        print(f"sh fwd[{backend}] per-call ms "
+              f"{[round(t * 1e3, 1) for t in ts]}", flush=True)
+        return np.asarray(out), min(ts)
 
     out_p, t_p = run_sh("pallas")
     out_x, t_x = run_sh("xla")
