@@ -60,7 +60,7 @@ def resolve_tuned_config() -> dict:
     # mis-configure the measurement
     valid = {
         "conv_backend": {"auto", "xla", "pallas", "pallas3", "slab3",
-                         "slab"},
+                         "slab", "p3s4"},
         "rays_dtype": {"float32", "bfloat16"},
         "gcn_dtype": {"float32", "bfloat16"},
     }

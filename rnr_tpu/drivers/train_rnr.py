@@ -98,7 +98,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="U-Net conv compute dtype (params stay f32)")
     p.add_argument("--unet_conv_backend", default="auto",
                    choices=["auto", "xla", "pallas", "pallas3", "slab3",
-                            "slab", "pallas_interpret"],
+                            "slab", "p3s4", "pallas_interpret"],
                    help="U-Net conv backend (pallas = the fused "
                         "implicit-GEMM kernels for 3x3 AND the 4x4 "
                         "stride-2 pair; pallas3 = Pallas 3x3 only, XLA "

@@ -92,11 +92,14 @@ class Conv(nn.Module):
         # XLA for the 4x4 pair; "slab" additionally routes the 4x4
         # stride-2 down conv through the slab kernel (down4s, two
         # [4C x 2O] dots per tile); candidates replacing pallas3.
+        # "p3s4": tap-wise Pallas 3x3 (the measured 3x3 winner) + the
+        # slab 4x4 pair (down4s/convt4s, K=4C occupancy) — the combo the
+        # r5 section-E probe decides between XLA 4x4s and slab 4x4s
         slab_all = self.backend == "slab"
+        p3s4 = self.backend == "p3s4"
         slab3_only = slab_all or self.backend == "slab3"
-        pallas3_only = slab3_only or self.backend == "pallas3" or (
-            self.backend == "auto" and is_tpu_backend()
-        )
+        pallas3_only = slab3_only or p3s4 or self.backend == "pallas3" \
+            or (self.backend == "auto" and is_tpu_backend())
         pallas_on = pallas3_only or (
             use_pallas(self.backend) and self.backend != "auto"
         )
@@ -109,7 +112,7 @@ class Conv(nn.Module):
             )
             op = conv3x3s if slab3_only else conv3x3
             return op(x, kernel, b, self.pad_mode, False, 0.2, interp)
-        if slab_all and k == 4 and self.stride == 2:
+        if (slab_all or p3s4) and k == 4 and self.stride == 2:
             from rnr_tpu.ops.conv_pallas import down4s
 
             y = down4s(x, kernel, self.pad_mode, interp)
@@ -164,7 +167,7 @@ class ConvTranspose(nn.Module):
 
         dt = self.dtype or x.dtype
         x = x.astype(dt)
-        if self.backend == "slab":
+        if self.backend in ("slab", "p3s4"):
             from rnr_tpu.ops.conv_pallas import convt4s
 
             y = convt4s(x, kernel, pallas_interpret(self.backend))

@@ -8,6 +8,8 @@ interpreter mode (CPU-testable); "xla" forces the XLA path.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 
@@ -29,4 +31,9 @@ def use_pallas(backend: str) -> bool:
 
 
 def pallas_interpret(backend: str) -> bool:
+    # RNR_PALLAS_INTERPRET=1 forces interpreter mode for EVERY backend
+    # selector — lets CPU tests drive any Pallas-routing mode (pallas3,
+    # slab, p3s4, ...) through the real dispatch logic.
+    if os.environ.get("RNR_PALLAS_INTERPRET") == "1":
+        return True
     return backend == "pallas_interpret"

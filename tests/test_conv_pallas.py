@@ -655,3 +655,37 @@ class TestSlabConvT4:
                 used = _convt4s_vmem_bytes(th, wi, kc, o, x_item,
                                            out_item)
                 assert used <= 13 * 1024 * 1024, (wi, c, o, th, used)
+
+
+def test_p3s4_backend_routing_interpret():
+    """backend='p3s4' = tap Pallas 3x3 + slab 4x4 pair; CPU-driven via
+    RNR_PALLAS_INTERPRET=1 through the real module dispatch."""
+    import os
+
+    import jax
+
+    from rnr_tpu.models.unet import Conv, ConvTranspose
+
+    rng = np.random.default_rng(21)
+    os.environ["RNR_PALLAS_INTERPRET"] = "1"
+    try:
+        x = jnp.asarray(
+            rng.standard_normal((1, 16, 16, 8)).astype(np.float32))
+        for ks, stride in ((3, 1), (4, 2)):
+            m_x = Conv(features=8, kernel_size=ks, stride=stride,
+                       backend="xla", pad_mode="same")
+            m_p = Conv(features=8, kernel_size=ks, stride=stride,
+                       backend="p3s4", pad_mode="same")
+            v = m_x.init(jax.random.PRNGKey(0), x)
+            np.testing.assert_allclose(
+                np.asarray(m_p.apply(v, x), np.float32),
+                np.asarray(m_x.apply(v, x), np.float32), atol=2e-4,
+                err_msg=f"k{ks}s{stride}")
+        mt_x = ConvTranspose(features=4, backend="xla")
+        mt_p = ConvTranspose(features=4, backend="p3s4")
+        vt = mt_x.init(jax.random.PRNGKey(1), x)
+        np.testing.assert_allclose(
+            np.asarray(mt_p.apply(vt, x), np.float32),
+            np.asarray(mt_x.apply(vt, x), np.float32), atol=2e-4)
+    finally:
+        os.environ.pop("RNR_PALLAS_INTERPRET", None)

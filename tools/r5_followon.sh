@@ -58,12 +58,27 @@ R5_SECTIONS=D RNR_SLAB_LANE_PAD=0 \
 phase 2 "probe_r5 D with RNR_SLAB_LANE_PAD=0" 4800 \
   python tools/tpu_probe_r5.py --out tools/out/probe_r5_nolanepad.json
 
+# the p3s4 combo (tap Pallas 3x3 + slab 4x4 pair) as a step_b1 cell —
+# merges into the existing A/B table (tpu_bench_r5 cell-level merge)
+R5_BATCH=0 R5_INFER=0 R5_1024=0 R5_STEP_CELLS="p3s4:fan" \
+phase 25 "tpu_bench_r5 p3s4 step cell" 3000 \
+  python tools/tpu_bench_r5.py
+
+phase 26 "best_config update incl. p3s4 cell" 120 \
+  python tools/r5_pick_best.py
+
 # kernel gates re-run: the r5q phase-5 run failed on (a) the slab gate's
 # XLA wgrad-oracle dtype bug and (b) the fan gate scoring against the
 # bf16-ray-corrupted base; both fixed in tpu_smoke.py
 KERNELS_JSON=KERNELS_r05.json \
 phase 3 "tpu_smoke kernel gates re-run -> KERNELS_r05.json" 4200 \
   python tools/tpu_smoke.py
+
+# refresh the canonical bench preview at the final best config, then
+# re-render the README table from the refreshed artifacts
+phase 4 "bench.py preview refresh + README re-render" 2400 bash -c \
+  "python bench.py | tail -1 > tools/out/bench_preview_r5.json && \
+   python tools/render_perf_tables.py"
 
 echo "=== r5 followon done $(date) ===" >> "$LOG"
 date > /tmp/r5f_done.flag

@@ -169,7 +169,14 @@ def main():
     if os.path.exists(OUT):
         with open(OUT) as f:
             merged = json.load(f)
-    merged.update(results)
+    for k, v in results.items():
+        # merge at the cell level so a later single-cell run (e.g. the
+        # followon's p3s4 arm) extends the A/B table instead of
+        # replacing it
+        if isinstance(v, dict) and isinstance(merged.get(k), dict):
+            merged[k].update(v)
+        else:
+            merged[k] = v
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(merged, f, indent=1)
