@@ -96,9 +96,16 @@ def _latest_summary(log_root):
 
 
 def _gate_cfg(args):
+    # "relight": "lp_fit" — the relight lighting is initialized from the
+    # scene's real probe files (--lp_dir, LightingLP.fit_sh), like the
+    # reference when probes exist.  The earlier marker True identified
+    # runs WITHOUT --lp_dir, whose relight renders were black (the
+    # relight index stayed at the near-zero stitched init) and whose
+    # relight columns were therefore vacuous — the changed marker forces
+    # those arms to re-train instead of resuming.
     return {"iters": args.iters, "img": args.img,
             "canonical": bool(args.canonical),
-            "platform": args.platform, "relight": True}
+            "platform": args.platform, "relight": "lp_fit"}
 
 
 def _arm_log_root(root, tag, cfg):
@@ -192,6 +199,11 @@ def main():
         # truth (reference train_rnr.py:549-555,834,878-881) — the
         # flagship capability must be quality-gated too (VERDICT r4 #2)
         "--lighting_idx", "0", "--lighting_relight_idx", "1",
+        # real probe files -> LightingLP.fit_sh initializes EVERY
+        # lighting index (reference train_rnr.py:264-275); without this
+        # the relight index keeps the near-zero stitched init and every
+        # relit render is black
+        "--lp_dir", "_/lp",
         "--max_iter", str(args.iters),
         # one held-out validation pass at the very end
         "--val_freq", str(args.iters - 1),
@@ -236,8 +248,19 @@ def main():
         results[tag] = (summary if summary is not None
                         else {"error": "no summary.json (arm crashed)"})
         if args.out:
+            # merge with an existing artifact so a partial re-run (e.g.
+            # a subset of arms after a config fix) updates those arms in
+            # place instead of dropping the others
+            merged = {}
+            if os.path.exists(args.out):
+                try:
+                    with open(args.out) as f:
+                        merged = json.load(f)
+                except Exception:
+                    merged = {}
+            merged.update(results)
             with open(args.out, "w") as f:
-                json.dump(results, f)
+                json.dump(merged, f)
     print("QUALITY_GATE", json.dumps(results))
 
 

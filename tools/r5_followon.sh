@@ -50,14 +50,6 @@ phase() {  # phase <n> <desc> <timeout_s> <cmd...>
   return $rc
 }
 
-R5_SECTIONS=D,E \
-phase 1 "probe_r5 D,E (conv chains fwd+bwd, down4/convt4 cells)" 5400 \
-  python tools/tpu_probe_r5.py --out tools/out/probe_r5_de.json
-
-R5_SECTIONS=D RNR_SLAB_LANE_PAD=0 \
-phase 2 "probe_r5 D with RNR_SLAB_LANE_PAD=0" 4800 \
-  python tools/tpu_probe_r5.py --out tools/out/probe_r5_nolanepad.json
-
 # the p3s4 combo (tap Pallas 3x3 + slab 4x4 pair) as a step_b1 cell —
 # merges into the existing A/B table (tpu_bench_r5 cell-level merge)
 R5_BATCH=0 R5_INFER=0 R5_1024=0 R5_STEP_CELLS="p3s4:fan" \
@@ -79,6 +71,34 @@ phase 3 "tpu_smoke kernel gates re-run -> KERNELS_r05.json" 4200 \
 phase 4 "bench.py preview refresh + README re-render" 2400 bash -c \
   "python bench.py | tail -1 > tools/out/bench_preview_r5.json && \
    python tools/render_perf_tables.py"
+
+# canonical quality gate RE-RUN with probe-file lighting init
+# (--lp_dir): the first run's relight renders were black (the relight
+# index kept the near-zero stitched init), making the relight columns
+# vacuous — identical across arms.  The config-hash bump in
+# quality_gate.py forces fresh training; arms merge into the same
+# artifact.  All four arms, most decision-critical first, so a timeout
+# still lands the shipped-defaults and reference-exact columns.
+phase 5 "canonical quality gate re-run (lp-fit relight)" 32000 \
+  python tools/quality_gate.py --iters 2000 --img 512 --canonical \
+    --root /tmp/rnr_qgate_r5 \
+    --ablations r5_fast,exact,sh_fan_off,conv_slab3 \
+    --out tools/out/quality_gate_canonical_r5.json
+
+R5_SECTIONS=D,E \
+phase 1 "probe_r5 D,E (conv chains fwd+bwd, down4/convt4 cells)" 5400 \
+  python tools/tpu_probe_r5.py --out tools/out/probe_r5_de.json
+
+R5_SECTIONS=D RNR_SLAB_LANE_PAD=0 \
+phase 2 "probe_r5 D with RNR_SLAB_LANE_PAD=0" 4800 \
+  python tools/tpu_probe_r5.py --out tools/out/probe_r5_nolanepad.json
+
+# relight-meaningful trajectory (the r5q phase-8 run predates the
+# --lp_dir fix, so its relight rows are vacuous; its view-synthesis
+# trajectory stands)
+phase 6 "4k-iteration lp-fit trajectory" 18000 \
+  python tools/r5_trajectory.py --iters 4000 --img 512 \
+    --root /tmp/rnr_r5_traj_lp --out tools/out/trajectory_r5_lp.json
 
 echo "=== r5 followon done $(date) ===" >> "$LOG"
 date > /tmp/r5f_done.flag

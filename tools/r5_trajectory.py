@@ -71,6 +71,10 @@ def main():
             "--img_size", str(args.img), *size,
             "--sphere_samples_fp", "nonexistent.mat",
             "--lighting_idx", "0", "--lighting_relight_idx", "1",
+            # probe-file lighting init — without it the relight index
+            # keeps the near-zero stitched init and relit renders are
+            # black (see quality_gate.py)
+            "--lp_dir", "_/lp",
             "--max_iter", str(args.iters),
             "--val_freq", str(args.val_every),
             "--ckp_freq", "1000000", "--log_freq", "200",
