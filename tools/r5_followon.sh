@@ -94,10 +94,10 @@ phase 2 "probe_r5 D with RNR_SLAB_LANE_PAD=0" 4800 \
   python tools/tpu_probe_r5.py --out tools/out/probe_r5_nolanepad.json
 
 # relight-meaningful trajectory (the r5q phase-8 run predates the
-# --lp_dir fix, so its relight rows are vacuous; its view-synthesis
-# trajectory stands)
-phase 6 "4k-iteration lp-fit trajectory" 18000 \
-  python tools/r5_trajectory.py --iters 4000 --img 512 \
+# --lp_dir fix AND died on a transient tunnel error at its first
+# validation; this one replaces it)
+phase 6 "8k-iteration lp-fit trajectory" 18000 \
+  python tools/r5_trajectory.py --iters 8000 --img 512 \
     --root /tmp/rnr_r5_traj_lp --out tools/out/trajectory_r5_lp.json
 
 echo "=== r5 followon done $(date) ===" >> "$LOG"

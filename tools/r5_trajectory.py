@@ -113,6 +113,11 @@ def main():
     with open(args.out, "w") as f:
         json.dump(traj, f, indent=1)
     print("TRAJECTORY", json.dumps(traj))
+    # propagate failure so the queue does not flag a crashed child as a
+    # completed phase (the r5q run died on a transient tunnel error at
+    # the first validation and still reported rc=0)
+    if rc != 0 or not traj["val"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
