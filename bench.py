@@ -55,6 +55,8 @@ def resolve_tuned_config() -> dict:
             "BENCH_GCN_DTYPE", tuned.get("gcn_dtype", "float32")),
         "sh_fan_fuse": os.environ.get(
             "BENCH_SH_FAN", str(tuned.get("sh_fan_fuse", True))),
+        "graph_refresh_every": os.environ.get(
+            "BENCH_GCN_REFRESH", str(tuned.get("graph_refresh_every", 1))),
     }
     # whitelist: a corrupt/typo'd best_config.json must not silently
     # mis-configure the measurement
@@ -71,6 +73,12 @@ def resolve_tuned_config() -> dict:
             resolved[k] = defaults[k]
     resolved["sh_fan_fuse"] = str(resolved["sh_fan_fuse"]).lower() in (
         "true", "1")
+    try:
+        refresh = int(resolved["graph_refresh_every"])
+    except (TypeError, ValueError):
+        refresh = 1
+    # GCN block-graph reuse stride; bounded by the block count
+    resolved["graph_refresh_every"] = refresh if 1 <= refresh <= 20 else 1
     return resolved
 
 
@@ -119,6 +127,7 @@ def main() -> None:
     rays_dtype = tuned["rays_dtype"]
     gcn_dtype = tuned["gcn_dtype"]
     sh_fan_fuse = tuned["sh_fan_fuse"]
+    graph_refresh = tuned["graph_refresh_every"]
     # PRNG impl for the per-step rng (dropout masks + stochastic GCN
     # dilation): "rbg" uses the TPU's hardware RNG instead of threefry
     # software rounds — distributionally identical streams
@@ -144,6 +153,7 @@ def main() -> None:
         conv_backend=conv_backend,
         gcn_dtype=gcn_dtype,
         sh_fan_fuse=sh_fan_fuse,
+        graph_refresh_every=graph_refresh,
     )
 
     rng = jax.random.key(0, impl=prng_impl)
@@ -220,6 +230,7 @@ def main() -> None:
             num_azi=6, num_polar=2, batch=2, remat=remat,
             rays_dtype=rays_dtype, conv_backend=conv_backend,
             gcn_dtype=gcn_dtype, sh_fan_fuse=sh_fan_fuse,
+            graph_refresh_every=graph_refresh,
         )
         state2, tx2 = create_rnr_state(
             model2, jax.random.PRNGKey(0), batch2, cfg2.train.lr
@@ -256,6 +267,7 @@ def main() -> None:
             num_azi=6, num_polar=2, batch=1, remat=remat,
             rays_dtype=rays_dtype, conv_backend=conv_backend,
             gcn_dtype=gcn_dtype, sh_fan_fuse=sh_fan_fuse,
+            graph_refresh_every=graph_refresh,
         )
         stateK, txK = create_rnr_state(
             modelK, jax.random.PRNGKey(0), batchK, cfgK.train.lr
@@ -337,6 +349,7 @@ def main() -> None:
             "rays_dtype": rays_dtype,
             "sh_fan_fuse": sh_fan_fuse,
             "gcn_dtype": gcn_dtype,
+            "graph_refresh_every": graph_refresh,
             "remat": remat_env,
             "vs_baseline_anchor": (
                 "round-1 BENCH (2.5951 frames/s); reference publishes "

@@ -83,6 +83,25 @@ ABLATIONS = {
 }
 
 
+def resolve_ablation(tag):
+    """Arm tag -> driver flags.  The special tag "ship" gates EXACTLY
+    the configuration bench.py will measure (tools/out/best_config.json
+    through the same resolve_tuned_config whitelist), so a tuned default
+    can never ship without canonical-scale quality evidence."""
+    if tag != "ship":
+        return ABLATIONS[tag]
+    import bench
+
+    tuned = bench.resolve_tuned_config()
+    return ["--knn_approx", "true", "--knn_recall", "0.9",
+            "--strat_min_dilation", "3",
+            "--rays_dtype", tuned["rays_dtype"],
+            "--gcn_compute_dtype", tuned["gcn_dtype"],
+            "--unet_conv_backend", tuned["conv_backend"],
+            "--sh_fan_fuse", str(tuned["sh_fan_fuse"]).lower(),
+            "--graph_refresh_every", str(tuned["graph_refresh_every"])]
+
+
 def _latest_summary(log_root):
     """Newest run's summary.json under log_root, or None."""
     if not os.path.isdir(log_root):
@@ -213,12 +232,21 @@ def main():
         *platform_args,
     ]
 
+    def _cfg_for(tag):
+        # the "ship" arm's flags come from best_config.json — hash them
+        # into the log root so a changed tuned config re-trains instead
+        # of resuming a summary trained at the previous config
+        cfg = _gate_cfg(args)
+        if tag == "ship":
+            cfg = dict(cfg, ship_flags=resolve_ablation("ship"))
+        return cfg
+
     if args.one_arm:
         tag = args.one_arm
-        log_root = _arm_log_root(root, tag, _gate_cfg(args))
+        log_root = _arm_log_root(root, tag, _cfg_for(tag))
         print(f"=== {tag} ===", flush=True)
         train_rnr.main(common + ["--logging_root", log_root]
-                       + ABLATIONS[tag])
+                       + resolve_ablation(tag))
         import resource
         rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         print(f"arm {tag} peak RSS {rss / 1e6:.2f} GB", flush=True)
@@ -226,10 +254,9 @@ def main():
 
     import subprocess
 
-    gate_cfg = _gate_cfg(args)
     results = {}
     for tag in args.ablations.split(","):
-        log_root = _arm_log_root(root, tag, gate_cfg)
+        log_root = _arm_log_root(root, tag, _cfg_for(tag))
         if _latest_summary(log_root) is None:
             # fresh process per arm: one leaking/crashing arm cannot
             # take down the others, and host RSS resets between arms

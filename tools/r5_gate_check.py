@@ -1,0 +1,88 @@
+"""Post-gate guard for tuned bench defaults (round 5).
+
+bench.py measures the configuration in tools/out/best_config.json; the
+canonical quality gate's "ship" arm trains EXACTLY that configuration
+(tools/quality_gate.py::resolve_ablation).  This script enforces the
+shipping rule: the tuned config stays only if the ship arm holds
+>= 0.95x the reference-exact arm on BOTH view-synthesis and relighting
+validation PSNR (BASELINE.md:40).  Otherwise best_config.json reverts
+to the last configuration that passed (pallas3 convs + bf16 rays + fan
+fusion, graph_refresh_every 1 — the r5_fast gate arm).
+
+Writes tools/out/ship_gate_check.json with the verdict either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GATE = "tools/out/quality_gate_canonical_r5.json"
+BEST = "tools/out/best_config.json"
+CHECK = "tools/out/ship_gate_check.json"
+
+# the r5_fast arm's configuration: quality-cleared by its own gate arm
+FALLBACK = {
+    "conv_backend": "pallas3",
+    "rays_dtype": "bfloat16",
+    "gcn_dtype": "float32",
+    "sh_fan_fuse": True,
+    "graph_refresh_every": 1,
+}
+
+
+def _holds(ship: float, exact: float) -> bool:
+    if exact >= 0:
+        return ship >= 0.95 * exact
+    return ship >= 1.05 * exact  # negative-PSNR regime: closer to 0 wins
+
+
+def main() -> None:
+    with open(GATE) as f:
+        gate = json.load(f)
+    with open(BEST) as f:
+        best = json.load(f)
+
+    is_fallback = all(best.get(k) == v for k, v in FALLBACK.items())
+    ship = gate.get("ship", {}).get("val")
+    exact = gate.get("exact", {}).get("val")
+    verdict: dict = {"best_config": {k: best.get(k) for k in FALLBACK}}
+
+    if is_fallback:
+        # the r5_fast arm IS the gate evidence for this config
+        verdict["result"] = "ok_fallback_config"
+    elif not ship or not exact:
+        verdict["result"] = "reverted_no_gate_evidence"
+    else:
+        checks = {
+            "view_psnr": (ship["final_psnr_valid"],
+                          exact["final_psnr_valid"]),
+            "relight_psnr": (ship["final_relight_psnr_valid"],
+                             exact["final_relight_psnr_valid"]),
+        }
+        verdict["checks"] = {
+            k: {"ship": s, "exact": e, "holds": _holds(s, e)}
+            for k, (s, e) in checks.items()
+        }
+        ok = all(c["holds"] for c in verdict["checks"].values())
+        verdict["result"] = "ok_gated" if ok else "reverted_quality"
+
+    if verdict["result"].startswith("reverted"):
+        best.update(FALLBACK)
+        best["source"] = (best.get("source", "")
+                          + f" | {verdict['result']}: r5_gate_check")
+        with open(BEST, "w") as f:
+            json.dump(best, f, indent=1)
+
+    with open(CHECK, "w") as f:
+        json.dump(verdict, f, indent=1)
+    print("SHIP_GATE_CHECK", json.dumps(verdict))
+    if verdict["result"].startswith("reverted_no_gate"):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

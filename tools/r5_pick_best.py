@@ -15,8 +15,13 @@ OUT = "tools/out/best_config.json"
 def main():
     with open(BENCH) as f:
         cells = json.load(f)["step_b1"]
-    best = min(cells.items(), key=lambda kv: kv[1]["ms"])
-    conv, fan_s = best[0].split(":")
+    finite = {k: v for k, v in cells.items()
+              if v.get("loss_finite", True)}
+    best = min(finite.items(), key=lambda kv: kv[1]["ms"])
+    # cell key: "<conv>:<fan|nofan>[:r<K>]" (K = graph_refresh_every)
+    parts = best[0].split(":")
+    conv, fan_s = parts[0], parts[1]
+    refresh = int(parts[2][1:]) if len(parts) > 2 else 1
     cur = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
@@ -29,6 +34,7 @@ def main():
         "rays_dtype": "bfloat16",
         "gcn_dtype": "float32",
         "sh_fan_fuse": fan_s == "fan",
+        "graph_refresh_every": refresh,
         "source": "tpu_bench_r5 step_b1: " + ", ".join(
             f"{k} {v['ms']}ms" for k, v in sorted(
                 cells.items(), key=lambda kv: kv[1]["ms"])),

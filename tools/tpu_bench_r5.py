@@ -52,13 +52,15 @@ def main():
         leaf = jax.tree.leaves(x)[0]
         float(jnp.asarray(leaf).ravel()[0])
 
-    def build_step(batch_n, remat, conv_backend, fan, img=512):
+    def build_step(batch_n, remat, conv_backend, fan, img=512,
+                   graph_refresh_every=1):
         cfg, model, batch = _build(
             img_size=img, tex_size=512, lmax=10, num_sample=4096,
             nf0=64, num_down=5, gcn_blocks=20, gcn_v=7500,
             num_azi=6, num_polar=2, batch=batch_n, remat=remat,
             rays_dtype="bfloat16", conv_backend=conv_backend,
             gcn_dtype="float32", sh_fan_fuse=fan,
+            graph_refresh_every=graph_refresh_every,
         )
         state, tx = create_rnr_state(
             model, jax.random.PRNGKey(0), batch, cfg.train.lr
@@ -75,9 +77,10 @@ def main():
         step = make_rnr_train_step(model, tx)
         return model, state, batch, statics, step
 
-    def time_step(batch_n, remat, conv_backend, fan, img=512):
+    def time_step(batch_n, remat, conv_backend, fan, img=512,
+                  graph_refresh_every=1):
         model, state, batch, statics, step = build_step(
-            batch_n, remat, conv_backend, fan, img
+            batch_n, remat, conv_backend, fan, img, graph_refresh_every
         )
         rng = jax.random.key(2, impl="threefry2x32")
         for _ in range(2):
@@ -98,9 +101,15 @@ def main():
             "slab3:fan,slab:fan,pallas3:fan,pallas3:nofan,xla:fan")
         rows = {}
         for cell in cells_env.split(","):
-            conv, fan_s = cell.split(":")
+            # cell syntax: "<conv>:<fan|nofan>[:r<K>]" — the optional
+            # third part sets graph_refresh_every=K (GCN block-graph
+            # reuse; r2 measured equal quality at K=4)
+            parts = cell.split(":")
+            conv, fan_s = parts[0], parts[1]
+            refresh = int(parts[2][1:]) if len(parts) > 2 else 1
             fan = fan_s == "fan"
-            dt, loss0, _ = time_step(1, False, conv, fan)
+            dt, loss0, _ = time_step(1, False, conv, fan,
+                                     graph_refresh_every=refresh)
             rows[cell] = {"ms": round(dt * 1e3, 1),
                           "fps": round(1.0 / dt, 3),
                           "loss_finite": bool(np.isfinite(loss0))}
