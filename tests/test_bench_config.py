@@ -30,7 +30,8 @@ def bench_mod(tmp_path, monkeypatch):
     spec = importlib.util.spec_from_file_location("_bench_copy", bench_py)
     mod = importlib.util.module_from_spec(spec)
     sys.modules["_bench_copy"] = spec.loader.exec_module(mod) or mod
-    for var in ("BENCH_CONV_BACKEND", "BENCH_RAYS_DTYPE", "BENCH_GCN_DTYPE"):
+    for var in ("BENCH_CONV_BACKEND", "BENCH_RAYS_DTYPE", "BENCH_GCN_DTYPE",
+                "BENCH_GCN_REFRESH", "BENCH_SH_FAN"):
         monkeypatch.delenv(var, raising=False)
     yield mod, tmp_path
     sys.modules.pop("_bench_copy", None)
@@ -40,7 +41,8 @@ def test_defaults_without_file(bench_mod):
     mod, _ = bench_mod
     got = mod.resolve_tuned_config()
     assert got == {"conv_backend": "xla", "rays_dtype": "float32",
-                   "gcn_dtype": "float32", "sh_fan_fuse": True}
+                   "gcn_dtype": "float32", "sh_fan_fuse": True,
+                   "graph_refresh_every": 1}
 
 
 def test_file_supplies_defaults(bench_mod):
@@ -70,6 +72,42 @@ def test_corrupt_file_falls_back(bench_mod):
         f.write("{not json")
     got = mod.resolve_tuned_config()
     assert got["conv_backend"] == "xla"
+
+
+def test_graph_refresh_parsed_and_clamped(bench_mod, monkeypatch):
+    """Round 5: graph_refresh_every flows from best_config.json (or
+    BENCH_GCN_REFRESH) with a [1, 20] whitelist clamp."""
+    mod, root = bench_mod
+    with open(root / "tools" / "out" / "best_config.json", "w") as f:
+        json.dump({"graph_refresh_every": 4}, f)
+    assert mod.resolve_tuned_config()["graph_refresh_every"] == 4
+    monkeypatch.setenv("BENCH_GCN_REFRESH", "2")
+    assert mod.resolve_tuned_config()["graph_refresh_every"] == 2
+    monkeypatch.setenv("BENCH_GCN_REFRESH", "999")   # out of range
+    assert mod.resolve_tuned_config()["graph_refresh_every"] == 1
+    monkeypatch.setenv("BENCH_GCN_REFRESH", "junk")  # unparsable
+    assert mod.resolve_tuned_config()["graph_refresh_every"] == 1
+
+
+def test_ship_arm_resolves_from_best_config(monkeypatch):
+    """The quality gate's dynamic "ship" arm trains exactly the tuned
+    bench configuration (tools/quality_gate.py::resolve_ablation)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import quality_gate
+        flags = quality_gate.resolve_ablation("ship")
+    finally:
+        sys.path.pop(0)
+    # driver-flag pairs, including the tuned keys
+    pairs = dict(zip(flags[::2], flags[1::2]))
+    for k in ("--unet_conv_backend", "--rays_dtype", "--gcn_compute_dtype",
+              "--sh_fan_fuse", "--graph_refresh_every"):
+        assert k in pairs, flags
+    import bench
+    tuned = bench.resolve_tuned_config()
+    assert pairs["--unet_conv_backend"] == tuned["conv_backend"]
+    assert pairs["--graph_refresh_every"] == str(
+        tuned["graph_refresh_every"])
 
 
 def test_readme_perf_table_matches_artifacts():

@@ -119,11 +119,13 @@ def main():
 
     best_conv = os.environ.get("R5_BEST_CONV", "pallas3")
     best_fan = os.environ.get("R5_BEST_FAN", "fan") == "fan"
+    best_refresh = int(os.environ.get("R5_BEST_REFRESH", 1))
 
     if int(os.environ.get("R5_BATCH", 1)):
         rows = {}
         for bn, remat in ((2, False), (4, "wide")):
-            dt, _, _ = time_step(bn, remat, best_conv, best_fan)
+            dt, _, _ = time_step(bn, remat, best_conv, best_fan,
+                                 graph_refresh_every=best_refresh)
             rows[f"b{bn}_remat_{remat}"] = {
                 "ms": round(dt * 1e3, 1), "fps": round(bn / dt, 3)}
             print(f"batch[b{bn}] {dt*1e3:7.1f} ms "
@@ -168,7 +170,8 @@ def main():
 
     if int(os.environ.get("R5_1024", 0)):
         rows = {}
-        dt, _, _ = time_step(1, "wide", best_conv, best_fan, img=1024)
+        dt, _, _ = time_step(1, "wide", best_conv, best_fan, img=1024,
+                             graph_refresh_every=best_refresh)
         rows["train"] = {"ms": round(dt * 1e3, 1),
                          "fps": round(1.0 / dt, 3)}
         print(f"1024 train {dt*1e3:.1f} ms", flush=True)
