@@ -28,6 +28,18 @@ VAL_RE = re.compile(
     r"Val( relight)? @ (\d+): mae ([\d.]+) psnr ([\d.]+) ssim ([\d.]+)")
 
 
+def _latest_ckpt(log_root):
+    """Newest model_iter-N.ckpt across run dirs -> (path, N)."""
+    import glob
+
+    best, best_it = None, -1
+    for p in glob.glob(os.path.join(log_root, "*", "model_iter-*.ckpt")):
+        m = re.search(r"model_iter-(\d+)\.ckpt$", p)
+        if m and int(m.group(1)) > best_it:
+            best, best_it = p, int(m.group(1))
+    return best, best_it
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10000)
@@ -38,6 +50,10 @@ def main():
     ap.add_argument("--out", type=str,
                     default="tools/out/trajectory_r5.json")
     ap.add_argument("--child", action="store_true")
+    # transient-tunnel resilience: re-launch a crashed child up to N
+    # times, resuming from the newest periodic checkpoint (the r5q 10k
+    # run lost everything to one dropped relay response at iter 1000)
+    ap.add_argument("--attempts", type=int, default=4)
     args = ap.parse_args()
 
     root = args.root or "/tmp/rnr_r5_traj"
@@ -65,6 +81,14 @@ def main():
                  "--nf0", "8", "--n_blocks", "2", "--n_filters", "8",
                  "--kernel_size", "4", "--out_channels_gcn", "32",
                  "--sh_lmax", "2"])
+        # resume from the newest periodic checkpoint of a previous
+        # (crashed) attempt; 24 scene views - every 4th held out = 18
+        # train views per epoch
+        ckpt, it0 = _latest_ckpt(os.path.join(root, "logs_trajectory"))
+        resume = (["--checkpoint", ckpt,
+                   "--start_epoch", str(it0 // 18)] if ckpt else [])
+        if ckpt:
+            print(f"resuming from {ckpt} (iter {it0})", flush=True)
         train_rnr.main([
             "--data_root", root, "--obj_high_fp", "_/mesh.obj",
             "--obj_low_fp", "_/mesh.obj", "--obj_gcn_fp", "_/mesh.obj",
@@ -77,28 +101,41 @@ def main():
             "--lp_dir", "_/lp",
             "--max_iter", str(args.iters),
             "--val_freq", str(args.val_every),
-            "--ckp_freq", "1000000", "--log_freq", "200",
+            "--ckp_freq", str(args.val_every), "--log_freq", "200",
             "--sampling_pattern", "skipinv_4",
             "--sampling_pattern_val", "only_0",
             "--knn_approx", "true", "--knn_recall", "0.9",
             "--strat_min_dilation", "3", "--rays_dtype", "bfloat16",
             "--logging_root", os.path.join(root, "logs_trajectory"),
-            *platform_args,
+            *resume, *platform_args,
         ])
         return
 
-    # parent: subprocess isolation + stdout parsing into the artifact
+    # parent: subprocess isolation + stdout parsing into the artifact;
+    # a crashed child (transient tunnel error) is re-launched and
+    # resumes from its newest periodic checkpoint
     log_path = os.path.join("/tmp", "r5_trajectory_child.log")
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
            "--iters", str(args.iters), "--img", str(args.img),
            "--val_every", str(args.val_every), "--root", root]
     if args.platform:
         cmd += ["--platform", args.platform]
-    with open(log_path, "w") as lf:
-        rc = subprocess.run(cmd, stdout=lf,
-                            stderr=subprocess.STDOUT).returncode
+    open(log_path, "w").close()  # fresh log per parent invocation
+    rc, attempts = 1, 0
+    for attempt in range(max(1, args.attempts)):
+        attempts = attempt + 1
+        with open(log_path, "a") as lf:
+            lf.write(f"\n=== attempt {attempts} ===\n")
+            lf.flush()
+            rc = subprocess.run(cmd, stdout=lf,
+                                stderr=subprocess.STDOUT).returncode
+        if rc == 0:
+            break
+        print(f"attempt {attempts} rc={rc}; retrying from latest "
+              "checkpoint", flush=True)
     traj = {"iters": args.iters, "img": args.img, "rc": rc,
-            "val": [], "relight": []}
+            "attempts": attempts, "val": [], "relight": []}
+    seen: dict = {}
     with open(log_path) as f:
         for line in f:
             m = VAL_RE.search(line)
@@ -107,8 +144,12 @@ def main():
                        "mae": float(m.group(3)),
                        "psnr": float(m.group(4)),
                        "ssim": float(m.group(5))}
-                (traj["relight"] if m.group(1) else traj["val"]).append(
-                    row)
+                # dedup resume-overlap validations by (channel, iter),
+                # keeping the latest attempt's row
+                seen[(bool(m.group(1)), row["iter"])] = row
+    for (is_relight, _), row in sorted(seen.items(),
+                                       key=lambda kv: kv[0][1]):
+        (traj["relight"] if is_relight else traj["val"]).append(row)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(traj, f, indent=1)
