@@ -154,6 +154,78 @@ def render() -> str:
     return "\n".join(lines)
 
 
+BEGIN_Q = "<!-- BEGIN AUTOGEN:QUALITY (tools/render_perf_tables.py) -->"
+END_Q = "<!-- END AUTOGEN:QUALITY -->"
+
+ARM_LABEL = {
+    "r5_fast": "shipped defaults (pallas3 convs, bf16 rays, fan fuse)",
+    "ship": "tuned bench config (tools/out/best_config.json)",
+    "exact": "reference-exact kNN, f32, XLA convs",
+    "sh_fan_off": "fan fusion off (materialized bf16 ray fan)",
+    "conv_slab3": "slab-3×3 conv formulation",
+}
+
+
+def render_quality() -> str:
+    gate_path = _newest("tools/out/quality_gate_canonical_r*.json")
+    gate = _load(gate_path)
+    lines = [
+        BEGIN_Q,
+        f"Canonical 512² / 2k-iteration on-device quality gate "
+        f"(`tools/out/{os.path.basename(gate_path)}`, one subprocess "
+        f"per arm, lp-fit relighting channel).  Regenerate with "
+        f"`python tools/render_perf_tables.py`.",
+        "",
+        "| Gate arm | View PSNR / SSIM | Relight PSNR / SSIM |",
+        "|---|---|---|",
+    ]
+    exact = gate.get("exact", {}).get("val") or {}
+
+    def cell(v, key):
+        p, s = v.get(f"final_{key}psnr_valid"), v.get(
+            f"final_{key}ssim_valid")
+        if p is None:
+            return "—"
+        ref = exact.get(f"final_{key}psnr_valid")
+        rel = (f" ({p / ref:.3f}× exact)"
+               if ref and v is not exact and ref > 0 else "")
+        return f"{p:.4f} / {s:.4f}{rel}"
+
+    for tag, entry in gate.items():
+        v = entry.get("val")
+        if not v:
+            lines.append(f"| `{tag}` | arm crashed | — |")
+            continue
+        lines.append(f"| `{tag}` — {ARM_LABEL.get(tag, tag)} | "
+                     f"{cell(v, '')} | {cell(v, 'relight_')} |")
+
+    # long-trajectory artifact (VERDICT r4 item 7)
+    traj_path = (_newest("tools/out/trajectory_r5_lp.json")
+                 or _newest("tools/out/trajectory_r*.json"))
+    if traj_path:
+        t = _load(traj_path)
+        if t.get("val"):
+            first, last = t["val"][0], t["val"][-1]
+            rl = t["relight"][-1] if t.get("relight") else None
+            lines += [
+                "",
+                f"Long trajectory (`tools/out/"
+                f"{os.path.basename(traj_path)}`, {t['iters']} iters at "
+                f"{t['img']}²): view PSNR {first['psnr']:.3f} @ "
+                f"{first['iter']} → {last['psnr']:.3f} @ "
+                f"{last['iter']}"
+                + (f"; relight PSNR {rl['psnr']:.3f} @ {rl['iter']}"
+                   if rl else "") + ".",
+            ]
+    chk = os.path.join(ROOT, "tools/out/ship_gate_check.json")
+    if os.path.exists(chk):
+        c = _load(chk)
+        lines += ["", f"Tuned-config shipping guard "
+                      f"(`tools/r5_gate_check.py`): **{c['result']}**."]
+    lines.append(END_Q)
+    return "\n".join(lines)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
@@ -168,6 +240,14 @@ def main():
     pattern = re.compile(re.escape(BEGIN) + r".*?" + re.escape(END),
                          re.DOTALL)
     new_text = pattern.sub(lambda _: block, text)
+    qblock = render_quality()
+    if BEGIN_Q in new_text and END_Q in new_text:
+        qpattern = re.compile(re.escape(BEGIN_Q) + r".*?" + re.escape(END_Q),
+                              re.DOTALL)
+        new_text = qpattern.sub(lambda _: qblock, new_text)
+    else:
+        # first render: insert the quality block right after the perf one
+        new_text = new_text.replace(END, END + "\n\n" + qblock, 1)
     if args.check:
         if new_text != text:
             print("README perf table is stale vs artifacts — run "
