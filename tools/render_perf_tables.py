@@ -226,6 +226,81 @@ def render_quality() -> str:
     return "\n".join(lines)
 
 
+BEGIN_S = "<!-- BEGIN AUTOGEN:STEPBREAKDOWN (tools/render_perf_tables.py) -->"
+END_S = "<!-- END AUTOGEN:STEPBREAKDOWN -->"
+
+
+def render_step_breakdown() -> str:
+    """The PERFORMANCE.md 'where the step goes' table, from the newest
+    tools/out/profile_components_r*.log (VERDICT r4 item 6: prose
+    numbers must be machine-rendered, not hand-copied)."""
+    prof_path = _newest("tools/out/profile_components_r*.log")
+    prof = {}
+    with open(prof_path) as f:
+        for line in f:
+            m = re.match(r"(\S.*?)\s+([\d.]+) ms", line)
+            if m:
+                prof[m.group(1)] = float(m.group(2))
+    tb = _load(_newest("tools/out/tpu_bench_r*.json"))
+    best = min(tb["step_b1"].items(), key=lambda kv: kv[1]["ms"])
+
+    def g(key):
+        return prof.get(key, float("nan"))
+
+    rows = [
+        ("U-Net (fwd+bwd)",
+         f"{g('unet_fwd+bwd'):.1f}",
+         f"conv-occupancy-bound (see the conv wall below); fwd alone "
+         f"{g('unet_forward'):.1f}"),
+        ("Texture sample + scatter-grad",
+         f"{g('texture_sample'):.1f} + {g('texture_backward'):.1f}",
+         "Pallas matmul-gather/scatter (was 97 autodiff XLA)"),
+        ("GCN (20 blocks, k=16)",
+         f"{g('gcn_forward'):.1f}",
+         "stratified Pallas kNN (was 144 round-1); "
+         "`graph_refresh_every` reuses block graphs"),
+        ("Ray fans + net input",
+         f"{g('ray_sampler'):.1f}",
+         "VPU vector math; the fan still feeds the U-Net's ray "
+         "channels"),
+        ("SH shading fwd + bwd",
+         f"{g('ray_render_sh_fwd'):.1f} + {g('ray_render_sh_bwd'):.1f}",
+         "fused Pallas ladder (XLA path: 47.9 ms fwd+bwd in-gate)"),
+        ("Losses + Adam", "~15",
+         "state donation (round 4) removes the double-resident update"),
+    ]
+    lines = [
+        BEGIN_S,
+        f"Source: `tools/out/{os.path.basename(prof_path)}` (isolated "
+        f"stages overlap, so they sum past the {best[1]['ms']:.1f} ms "
+        f"step of the best A/B cell `{best[0]}`, `tools/out/"
+        f"{os.path.basename(_newest('tools/out/tpu_bench_r*.json'))}`). "
+        f"Regenerate with `python tools/render_perf_tables.py`.",
+        "",
+        "| Stage | ~ms | Notes |",
+        "|---|---|---|",
+    ]
+    for a, b, c in rows:
+        lines.append(f"| {a} | {b} | {c} |")
+    lines += [
+        "",
+        f"(The profile log's `ray_render_backward "
+        f"{g('ray_render_backward'):.0f} ms` cell is the "
+        "light-probe-sampling `ray_render` path — used by LP-lighting "
+        "fits and no-grad relight validation, never by the canonical "
+        "train step, which takes the SH-direct `ray_render_sh` path "
+        "above.)",
+        END_S,
+    ]
+    return "\n".join(lines)
+
+
+def _splice(text, begin, end, block):
+    pattern = re.compile(re.escape(begin) + r".*?" + re.escape(end),
+                         re.DOTALL)
+    return pattern.sub(lambda _: block, text)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
@@ -248,16 +323,32 @@ def main():
     else:
         # first render: insert the quality block right after the perf one
         new_text = new_text.replace(END, END + "\n\n" + qblock, 1)
+    perf_md = os.path.join(ROOT, "docs", "PERFORMANCE.md")
+    with open(perf_md) as f:
+        ptext = f.read()
+    sblock = render_step_breakdown()
+    if BEGIN_S in ptext and END_S in ptext:
+        new_ptext = _splice(ptext, BEGIN_S, END_S, sblock)
+    else:
+        new_ptext = ptext  # markers not placed yet — no-op until added
     if args.check:
+        stale = []
         if new_text != text:
-            print("README perf table is stale vs artifacts — run "
+            stale.append("README.md")
+        if new_ptext != ptext:
+            stale.append("docs/PERFORMANCE.md")
+        if stale:
+            print(f"{', '.join(stale)} stale vs artifacts — run "
                   "python tools/render_perf_tables.py", file=sys.stderr)
             sys.exit(1)
-        print("README perf table matches artifacts")
+        print("README + PERFORMANCE tables match artifacts")
         return
     with open(readme, "w") as f:
         f.write(new_text)
-    print("README perf table rendered")
+    if new_ptext != ptext:
+        with open(perf_md, "w") as f:
+            f.write(new_ptext)
+    print("README + PERFORMANCE tables rendered")
 
 
 if __name__ == "__main__":
