@@ -79,17 +79,13 @@ def rnr_texture_flatten_init(model: RNRModel, params) -> jax.Array:
     return jax.nn.relu(flat)
 
 
-def make_rnr_train_step(
-    model: RNRModel,
-    tx: optax.GradientTransformation,
-    lighting_idx: int = 0,
-) -> Callable:
-    """Build the jitted RNR train step.
+def make_rnr_loss_fn(model: RNRModel, lighting_idx: int = 0) -> Callable:
+    """The RNR training loss (render L1 + lighting + chrom + albedo
+    priors; reference train_rnr.py:519-611), factored out of the step so
+    profiling can time value_and_grad in isolation from the optimizer
+    update and metrics (tools/profile_components.py).
 
-    step(state, batch, statics, rng) -> (state, metrics)
-
-    `statics` carries the loss anchors:
-      l_samples_init [S, C], l_samples_mask [S], tex_flatten_init [H, W, 6].
+    loss_fn(params, state, batch, statics, rng) -> (loss, aux)
     """
     cfg = model.cfg
     tm = TextureMapper(
@@ -153,6 +149,23 @@ def make_rnr_train_step(
             "spectral": mutated.get("spectral", state.spectral),
         }
         return loss, aux
+
+    return loss_fn
+
+
+def make_rnr_train_step(
+    model: RNRModel,
+    tx: optax.GradientTransformation,
+    lighting_idx: int = 0,
+) -> Callable:
+    """Build the jitted RNR train step.
+
+    step(state, batch, statics, rng) -> (state, metrics)
+
+    `statics` carries the loss anchors:
+      l_samples_init [S, C], l_samples_mask [S], tex_flatten_init [H, W, 6].
+    """
+    loss_fn = make_rnr_loss_fn(model, lighting_idx)
 
     # donate the incoming state: params/opt-state buffers are rewritten
     # every step, and without donation the update holds both copies

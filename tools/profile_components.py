@@ -233,6 +233,31 @@ def main():
     t = timeit(run_step, state, batch, statics, key, steps=args.steps)
     print(f"full_train_step        {t * 1e3:9.1f} ms")
 
+    # --- losses+grads WITHOUT the optimizer update / metrics ---
+    # full_train_step minus this cell = Adam update + masked metrics;
+    # this cell minus full_forward ~= backward + loss terms
+    from rnr_tpu.train.steps import make_rnr_loss_fn
+
+    loss_fn = make_rnr_loss_fn(model)
+
+    @jax.jit
+    def grads_cell(params, st, b, stt, r):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, st, b, stt, r)
+        return loss, grads
+
+    t = timeit(grads_cell, cur["state"].params, cur["state"], batch,
+               statics, key, steps=args.steps)
+    print(f"loss_and_grads         {t * 1e3:9.1f} ms")
+
+    @jax.jit
+    def loss_cell(params, st, b, stt, r):
+        return loss_fn(params, st, b, stt, r)[0]
+
+    t = timeit(loss_cell, cur["state"].params, cur["state"], batch,
+               statics, key, steps=args.steps)
+    print(f"loss_forward           {t * 1e3:9.1f} ms")
+
 
 if __name__ == "__main__":
     main()

@@ -266,8 +266,12 @@ def render_step_breakdown() -> str:
         ("SH shading fwd + bwd",
          f"{g('ray_render_sh_fwd'):.1f} + {g('ray_render_sh_bwd'):.1f}",
          "fused Pallas ladder (XLA path: 47.9 ms fwd+bwd in-gate)"),
-        ("Losses + Adam", "~15",
-         "state donation (round 4) removes the double-resident update"),
+        ("Losses + Adam",
+         (f"{g('full_train_step') - g('loss_and_grads'):.1f}"
+          if "loss_and_grads" in prof else "~15"),
+         ("measured: full step − loss_and_grads cell (Adam update + "
+          "masked metrics); " if "loss_and_grads" in prof else "")
+         + "state donation (round 4) removes the double-resident update"),
     ]
     lines = [
         BEGIN_S,
