@@ -18,10 +18,14 @@ FALLBACK = {"conv_backend": "pallas3", "rays_dtype": "bfloat16",
             "graph_refresh_every": 1}
 
 
+_counter = [0]
+
+
 def _run(tmp_path, best, gate):
     """Run r5_gate_check.py in a repo-shaped sandbox; return (verdict,
     resulting best_config)."""
-    root = tmp_path / "repo"
+    _counter[0] += 1
+    root = tmp_path / f"repo{_counter[0]}"
     (root / "tools" / "out").mkdir(parents=True)
     shutil.copy(os.path.join(REPO, "tools", "r5_gate_check.py"),
                 root / "tools" / "r5_gate_check.py")
