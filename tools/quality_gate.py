@@ -80,6 +80,19 @@ ABLATIONS = {
     "r5_fast": ["--knn_approx", "true", "--knn_recall", "0.9",
                 "--strat_min_dilation", "3",
                 "--rays_dtype", "bfloat16"],
+    # --- relight-gap isolation arms (r5 followon) ---
+    # seed replicate of r5_fast: measures the 2k-iter relight-PSNR
+    # noise floor on the synthetic scene (whose relight GT is not
+    # physically consistent with its probes — only cross-arm deltas
+    # mean anything, and only above this floor)
+    "r5_fast_seed1": ["--knn_approx", "true", "--knn_recall", "0.9",
+                      "--strat_min_dilation", "3",
+                      "--rays_dtype", "bfloat16", "--seed", "1"],
+    # r5_fast with f32 ray tensors: isolates the bf16-ray-channel
+    # factor if the exact-vs-fast relight delta exceeds the seed floor
+    "rays_f32": ["--knn_approx", "true", "--knn_recall", "0.9",
+                 "--strat_min_dilation", "3",
+                 "--rays_dtype", "float32"],
 }
 
 
