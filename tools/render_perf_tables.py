@@ -163,6 +163,8 @@ ARM_LABEL = {
     "exact": "reference-exact kNN, f32, XLA convs",
     "sh_fan_off": "fan fusion off (materialized bf16 ray fan)",
     "conv_slab3": "slab-3×3 conv formulation",
+    "r5_fast_seed1": "shipped defaults, seed 1 (relight noise floor)",
+    "rays_f32": "shipped defaults with f32 ray tensors",
 }
 
 
