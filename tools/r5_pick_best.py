@@ -18,10 +18,15 @@ def main():
     finite = {k: v for k, v in cells.items()
               if v.get("loss_finite", True)}
     best = min(finite.items(), key=lambda kv: kv[1]["ms"])
-    # cell key: "<conv>:<fan|nofan>[:r<K>]" (K = graph_refresh_every)
+    # cell key: "<conv>:<fan|nofan>[:r<K>][:<rays_dtype>]"
     parts = best[0].split(":")
     conv, fan_s = parts[0], parts[1]
-    refresh = int(parts[2][1:]) if len(parts) > 2 else 1
+    refresh, rays_dtype = 1, "bfloat16"
+    for p in parts[2:]:
+        if p.startswith("r") and p[1:].isdigit():
+            refresh = int(p[1:])
+        elif p in ("float32", "bfloat16"):
+            rays_dtype = p
     cur = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
@@ -31,7 +36,7 @@ def main():
     # code change, not a config write
     cur.update({
         "conv_backend": conv,
-        "rays_dtype": "bfloat16",
+        "rays_dtype": rays_dtype,
         "gcn_dtype": "float32",
         "sh_fan_fuse": fan_s == "fan",
         "graph_refresh_every": refresh,

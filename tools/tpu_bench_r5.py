@@ -58,7 +58,8 @@ def main():
             img_size=img, tex_size=512, lmax=10, num_sample=4096,
             nf0=64, num_down=5, gcn_blocks=20, gcn_v=7500,
             num_azi=6, num_polar=2, batch=batch_n, remat=remat,
-            rays_dtype="bfloat16", conv_backend=conv_backend,
+            rays_dtype=os.environ.get("R5_RAYS_DTYPE", "bfloat16"),
+            conv_backend=conv_backend,
             gcn_dtype="float32", sh_fan_fuse=fan,
             graph_refresh_every=graph_refresh_every,
         )
@@ -110,10 +111,14 @@ def main():
             fan = fan_s == "fan"
             dt, loss0, _ = time_step(1, False, conv, fan,
                                      graph_refresh_every=refresh)
-            rows[cell] = {"ms": round(dt * 1e3, 1),
-                          "fps": round(1.0 / dt, 3),
-                          "loss_finite": bool(np.isfinite(loss0))}
-            print(f"step_b1[{cell}] {dt*1e3:7.1f} ms "
+            # non-default rays dtype (R5_RAYS_DTYPE) gets its own cell
+            # key so the merge can't overwrite the bf16 measurement
+            rdt = os.environ.get("R5_RAYS_DTYPE", "bfloat16")
+            key = cell if rdt == "bfloat16" else f"{cell}:{rdt}"
+            rows[key] = {"ms": round(dt * 1e3, 1),
+                         "fps": round(1.0 / dt, 3),
+                         "loss_finite": bool(np.isfinite(loss0))}
+            print(f"step_b1[{key}] {dt*1e3:7.1f} ms "
                   f"({1.0/dt:5.2f} fps)", flush=True)
         results["step_b1"] = rows
 
