@@ -189,8 +189,12 @@ def render_quality() -> str:
         if p is None:
             return "—"
         ref = exact.get(f"final_{key}psnr_valid")
-        rel = (f" ({p / ref:.3f}× exact)"
-               if ref and v is not exact and ref > 0 else "")
+        rel = ""
+        if ref is not None and v is not exact:
+            # multiplicative ratio is meaningless near 0 dB (the
+            # synthetic relight GT regime) — quote the dB delta there
+            rel = (f" ({p / ref:.3f}× exact)" if ref > 3.0
+                   else f" (Δ{p - ref:+.2f} dB vs exact)")
         return f"{p:.4f} / {s:.4f}{rel}"
 
     for tag, entry in gate.items():
