@@ -205,6 +205,15 @@ def render_quality() -> str:
         lines.append(f"| `{tag}` — {ARM_LABEL.get(tag, tag)} | "
                      f"{cell(v, '')} | {cell(v, 'relight_')} |")
 
+    lines += [
+        "",
+        "Relight PSNR on this gate hovers near 0 dB by construction: "
+        "the synthetic scene's second-lighting images are an arbitrary "
+        "shading pattern, not a physical render under the probe, so "
+        "only cross-arm deltas are meaningful (on real captures the "
+        "reference's own relight PSNRs are the BASELINE.md target).",
+    ]
+
     # long-trajectory artifact (VERDICT r4 item 7)
     traj_path = (_newest("tools/out/trajectory_r5_lp.json")
                  or _newest("tools/out/trajectory_r*.json"))
