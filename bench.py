@@ -71,8 +71,13 @@ def resolve_tuned_config() -> dict:
     for k, allowed in valid.items():
         if resolved[k] not in allowed:
             resolved[k] = defaults[k]
-    resolved["sh_fan_fuse"] = str(resolved["sh_fan_fuse"]).lower() in (
-        "true", "1")
+    fan = str(resolved["sh_fan_fuse"]).lower()
+    if fan in ("true", "1"):
+        resolved["sh_fan_fuse"] = True
+    elif fan in ("false", "0"):
+        resolved["sh_fan_fuse"] = False
+    else:  # typo'd value falls back to the shipped default, not False
+        resolved["sh_fan_fuse"] = True
     try:
         refresh = int(resolved["graph_refresh_every"])
     except (TypeError, ValueError):

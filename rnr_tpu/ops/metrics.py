@@ -108,9 +108,32 @@ def ssim(
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu12 = mu1 * mu2
-    sigma1_sq = blur(img1 * img1) - mu1_sq
-    sigma2_sq = blur(img2 * img2) - mu2_sq
-    sigma12 = blur(img1 * img2) - mu12
+    # Variances/covariance are shift-invariant: compute them on
+    # globally mean-shifted inputs so blur(x^2) - mu^2 cancels at the
+    # scale of the local CONTRAST, not of the absolute magnitude
+    # (unclipped network outputs reach |x| ~ 1e4-1e5 x255 early in
+    # training, where the raw formulation loses every significant bit
+    # of a near-zero variance to f32 rounding).
+    d1 = img1 - jnp.mean(img1)
+    d2 = img2 - jnp.mean(img2)
+    nu1 = blur(d1)
+    nu2 = blur(d2)
+    sigma1_sq = blur(d1 * d1) - nu1 * nu1
+    sigma2_sq = blur(d2 * d2) - nu2 * nu2
+    sigma12 = blur(d1 * d2) - nu1 * nu2
+    # Numerical-robustness clamps enforcing the exact-arithmetic
+    # invariants sigma^2 >= 0 and |sigma12| <= sqrt(sigma1^2 sigma2^2).
+    # The f32 window normalization is off by ~5e-8, so blur(x^2)-mu^2
+    # carries an error ~ -eps*mu^2: for unclipped network outputs with
+    # |x| ~ 1e4-1e5 (early-training relight renders x255) that error
+    # swamps c2 = (0.03*255)^2, the denominator crosses zero, and the
+    # SSIM map blows up (observed: "ssim 16.6" in a relight validation).
+    # For in-range inputs the clamps are a rounding-level no-op, keeping
+    # pytorch_msssim parity.
+    sigma1_sq = jnp.maximum(sigma1_sq, 0.0)
+    sigma2_sq = jnp.maximum(sigma2_sq, 0.0)
+    bound = jnp.sqrt(sigma1_sq * sigma2_sq)
+    sigma12 = jnp.clip(sigma12, -bound, bound)
 
     ssim_map = ((2.0 * mu12 + c1) * (2.0 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)

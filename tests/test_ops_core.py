@@ -322,3 +322,57 @@ def test_ssim_identity_and_range(rng):
     noise = np.clip(img + rng.normal(0, 60, img.shape), 0, 255).astype(np.float32)
     s_noise = float(ssim(jnp.asarray(img), jnp.asarray(noise)))
     assert 0.0 < s_noise < 0.95
+
+
+def test_ssim_bounded_for_unclipped_magnitudes(rng):
+    """SSIM map must stay in [-1, 1] for inputs far outside [0, 255].
+
+    Early-training relight renders are unclipped network outputs; x255
+    their magnitude reaches 1e4-1e5.  The f32 Gaussian window's ~5e-8
+    normalization error then puts -eps*mu^2 ~ -O(100) into the variance
+    terms, swamping c2=58.5 — the denominator crossed zero and an
+    actual driver run printed "Val relight ... ssim 16.6062" (an
+    impossible SSIM).  The sigma>=0 / Cauchy-Schwarz clamps restore the
+    exact-arithmetic bound at any magnitude."""
+    import scipy.ndimage as ndi
+
+    from rnr_tpu.ops.metrics import _gaussian_kernel
+
+    def ssim64(i1, i2, data_range=255.0, win=11):
+        c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+        k = np.asarray(_gaussian_kernel(win, 1.5), np.float64)
+        k /= k.sum()  # exact normalization
+
+        def blur(x):
+            y = ndi.convolve1d(x, k, axis=1, mode="constant")
+            y = ndi.convolve1d(y, k, axis=2, mode="constant")
+            h = win // 2
+            return y[:, h:-h, h:-h, :]
+
+        i1, i2 = i1.astype(np.float64), i2.astype(np.float64)
+        mu1, mu2 = blur(i1), blur(i2)
+        s1 = np.maximum(blur(i1 * i1) - mu1 * mu1, 0)
+        s2 = np.maximum(blur(i2 * i2) - mu2 * mu2, 0)
+        s12 = blur(i1 * i2) - mu1 * mu2
+        bd = np.sqrt(s1 * s2)
+        s12 = np.clip(s12, -bd, bd)
+        m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2))
+        return float(m.mean())
+
+    for scale in (1e4, 1e5, 1e6):
+        blocks_a = rng.standard_normal((1, 6, 6, 3)) * scale
+        blocks_b = rng.standard_normal((1, 6, 6, 3)) * scale
+        # piecewise-constant: zero true variance inside blocks, so the
+        # denominator is c2-dominated and maximally cancellation-prone
+        a = np.repeat(np.repeat(blocks_a, 16, 1), 16, 2).astype(np.float32)
+        b = np.repeat(np.repeat(blocks_b, 16, 1), 16, 2).astype(np.float32)
+        s = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+        assert -1.0001 <= s <= 1.0001, (scale, s)
+        # pre-fix the f32 value drifted ~0.2-0.3 from the oracle here
+        assert abs(s - ssim64(a, b)) < 0.05, (scale, s, ssim64(a, b))
+    # near-identical constant images at high magnitude: pre-fix this
+    # read 0.727; the true value is ~1 (sigma terms are exactly zero)
+    const = np.full((1, 64, 64, 3), 9000.0, np.float32)
+    s_const = float(ssim(jnp.asarray(const), jnp.asarray(const * 1.0001)))
+    assert s_const > 0.9, s_const

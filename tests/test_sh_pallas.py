@@ -147,7 +147,6 @@ def _fan_data(n=1, h=16, w=16, seed=5, num_azi=2, num_polar=1):
     vdt = rng.standard_normal((n, h, w, 3)).astype(np.float32)
     vdt /= np.linalg.norm(vdt, axis=-1, keepdims=True)
     alpha = (rng.uniform(size=(n, h, w, 1)) > 0.3).astype(np.float32)
-    lt = rng.uniform(0, 2, (n, h, w, 0, C)).astype(np.float32)
     coeff = rng.standard_normal(((LMAX + 1) ** 2, C)).astype(np.float32)
 
     spec = RaySampler(num_azi=num_azi, num_polar=num_polar,

@@ -144,8 +144,9 @@ def _arm_log_root(root, tag, cfg):
     """Per-arm log dir, namespaced by a hash of the gate config: a
     summary left by an earlier run with different --iters/--img/
     --canonical/--platform must not short-circuit the arm (ADVICE r4).
-    The bare logs_<tag> name is kept for the default config so existing
-    committed artifacts keep resuming."""
+    Every config (including the default) gets the hash suffix, so runs
+    from before the hashing change never resume — by design, since
+    their configs are unverifiable."""
     import hashlib
 
     canon = json.dumps(cfg, sort_keys=True)

@@ -24,8 +24,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
+# values can be negative (relight PSNR on the synthetic-GT scene sits
+# around 0 dB) or nan — `[\d.]+` alone silently drops those rows
+_NUM = r"(-?[\d.]+(?:e-?\d+)?|-?nan|-?inf)"
 VAL_RE = re.compile(
-    r"Val( relight)? @ (\d+): mae ([\d.]+) psnr ([\d.]+) ssim ([\d.]+)")
+    r"Val( relight)? @ (\d+): mae {0} psnr {0} ssim {0}".format(_NUM))
 
 
 def _latest_ckpt(log_root):
@@ -54,6 +57,10 @@ def main():
     # times, resuming from the newest periodic checkpoint (the r5q 10k
     # run lost everything to one dropped relay response at iter 1000)
     ap.add_argument("--attempts", type=int, default=4)
+    # re-parse an existing child log into the artifact without training
+    # (used to regenerate artifacts written by a parent that ran with
+    # the pre-fix VAL_RE, which dropped negative-PSNR relight rows)
+    ap.add_argument("--parse_only", action="store_true")
     args = ap.parse_args()
 
     root = args.root or "/tmp/rnr_r5_traj"
@@ -120,19 +127,25 @@ def main():
            "--val_every", str(args.val_every), "--root", root]
     if args.platform:
         cmd += ["--platform", args.platform]
-    open(log_path, "w").close()  # fresh log per parent invocation
-    rc, attempts = 1, 0
-    for attempt in range(max(1, args.attempts)):
-        attempts = attempt + 1
-        with open(log_path, "a") as lf:
-            lf.write(f"\n=== attempt {attempts} ===\n")
-            lf.flush()
-            rc = subprocess.run(cmd, stdout=lf,
-                                stderr=subprocess.STDOUT).returncode
-        if rc == 0:
-            break
-        print(f"attempt {attempts} rc={rc}; retrying from latest "
-              "checkpoint", flush=True)
+    if args.parse_only:
+        rc, attempts = 0, 0
+    else:
+        open(log_path, "w").close()  # fresh log per parent invocation
+        rc, attempts = 1, 0
+        for attempt in range(max(1, args.attempts)):
+            attempts = attempt + 1
+            with open(log_path, "a") as lf:
+                lf.write(f"\n=== attempt {attempts} ===\n")
+                lf.flush()
+                rc = subprocess.run(cmd, stdout=lf,
+                                    stderr=subprocess.STDOUT).returncode
+            if rc == 0:
+                break
+            print(f"attempt {attempts} rc={rc}; retrying from latest "
+                  "checkpoint", flush=True)
+    if args.parse_only and os.path.exists(args.out):
+        prev = json.load(open(args.out))
+        rc, attempts = prev.get("rc", rc), prev.get("attempts", attempts)
     traj = {"iters": args.iters, "img": args.img, "rc": rc,
             "attempts": attempts, "val": [], "relight": []}
     seen: dict = {}

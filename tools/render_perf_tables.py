@@ -26,8 +26,15 @@ BEGIN = "<!-- BEGIN AUTOGEN:PERF (tools/render_perf_tables.py) -->"
 END = "<!-- END AUTOGEN:PERF -->"
 
 
+def _round_key(path):
+    """Sort key by numeric round suffix (lexicographic order would put
+    r10 before r9 for the unpadded tools/out names)."""
+    m = re.search(r"_r(\d+)\.", os.path.basename(path))
+    return (int(m.group(1)) if m else -1, path)
+
+
 def _newest(pattern):
-    paths = sorted(glob.glob(os.path.join(ROOT, pattern)))
+    paths = sorted(glob.glob(os.path.join(ROOT, pattern)), key=_round_key)
     return paths[-1] if paths else None
 
 
@@ -37,7 +44,8 @@ def _load(path):
 
 
 def render() -> str:
-    bench_paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    bench_paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")),
+                         key=_round_key)
     bench = _load(bench_paths[-1])["parsed"]
     prev = (_load(bench_paths[-2])["parsed"]
             if len(bench_paths) > 1 else None)
@@ -49,9 +57,20 @@ def render() -> str:
     pv = _newest("tools/out/bench_preview_r*.json")
     if pv:
         pr = int(re.search(r"bench_preview_r(\d+)", pv).group(1))
-        if pr > rnd:
+        # the preview is written via `bench.py | tail -1`; a bench crash
+        # mid-pipe can leave truncated/non-JSON content (tail exits 0),
+        # so fall back to the newest BENCH artifact on any parse error
+        try:
+            pv_bench = _load(pv)
+            if pv_bench.get("value") is None:
+                raise ValueError("preview has no measurement")
+        except Exception as e:
+            print(f"warning: ignoring corrupt preview {pv}: {e}",
+                  file=sys.stderr)
+            pv_bench = None
+        if pr > rnd and pv_bench is not None:
             prev = bench
-            bench = _load(pv)
+            bench = pv_bench
             rnd = pr
             bench_src = f"tools/out/{os.path.basename(pv)}"
     kern = _load(_newest("KERNELS_r*.json"))["gates"]
