@@ -197,10 +197,14 @@ def render_quality() -> str:
         f"per arm, lp-fit relighting channel).  Regenerate with "
         f"`python tools/render_perf_tables.py`.",
         "",
-        "| Gate arm | View PSNR / SSIM | Relight PSNR / SSIM |",
-        "|---|---|---|",
+        "| Gate arm | View PSNR / SSIM | Relight PSNR / SSIM "
+        "(unclipped float) | Relight PSNR / SSIM (display-referred)† |",
+        "|---|---|---|---|",
     ]
     exact = gate.get("exact", {}).get("val") or {}
+    reval_path = _newest("tools/out/reval_ssim_r*.json")
+    reval = (_load(reval_path).get("arms", {}) if reval_path else {})
+    exact_rv = reval.get("exact", {}).get("relight") or {}
 
     def cell(v, key):
         p, s = v.get(f"final_{key}psnr_valid"), v.get(
@@ -216,13 +220,24 @@ def render_quality() -> str:
                    else f" (Δ{p - ref:+.2f} dB vs exact)")
         return f"{p:.4f} / {s:.4f}{rel}"
 
+    def rv_cell(tag):
+        rl = reval.get(tag, {}).get("relight")
+        if not rl:
+            return "—"
+        rel = ""
+        if exact_rv and tag != "exact":
+            rel = (f" (Δ{rl['psnr_valid'] - exact_rv['psnr_valid']:+.2f}"
+                   f" dB vs exact)")
+        return (f"{rl['psnr_valid']:.4f} / {rl['ssim_valid']:.4f}{rel}")
+
     for tag, entry in gate.items():
         v = entry.get("val")
         if not v:
-            lines.append(f"| `{tag}` | arm crashed | — |")
+            lines.append(f"| `{tag}` | arm crashed | — | — |")
             continue
         lines.append(f"| `{tag}` — {ARM_LABEL.get(tag, tag)} | "
-                     f"{cell(v, '')} | {cell(v, 'relight_')} |")
+                     f"{cell(v, '')} | {cell(v, 'relight_')} | "
+                     f"{rv_cell(tag)} |")
 
     lines += [
         "",
@@ -232,6 +247,19 @@ def render_quality() -> str:
         "only cross-arm deltas are meaningful (on real captures the "
         "reference's own relight PSNRs are the BASELINE.md target).",
     ]
+    if reval:
+        lines += [
+            "",
+            "† Display-referred columns (`tools/reval_ssim.py`, "
+            "artifact `tools/out/" + os.path.basename(reval_path)
+            + "`) are recomputed from each arm's saved 8-bit renders "
+            "(clipped to [0,1]) with the round-5 numerically-fixed "
+            "SSIM; the unclipped-float relight SSIM recorded in the "
+            "gate summaries predates that fix and is unreliable, and "
+            "the ~1 dB unclipped-float PSNR spread across arms "
+            "collapses once out-of-range overshoot is clipped away "
+            "(shipped defaults land within 0.01 dB of exact).",
+        ]
 
     # long-trajectory artifact (VERDICT r4 item 7)
     traj_path = (_newest("tools/out/trajectory_r5_lp.json")
