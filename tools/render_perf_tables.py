@@ -155,6 +155,15 @@ def render() -> str:
     hdr = ("| Measurement (512x512, canonical config: tex 512/24ch/4mip, "
            "SH lmax 10, 26 rays, U-Net nf0 64x5, GCN 20 blocks k=16 on "
            f"7500 verts) | Round {rnd} | Prior |")
+    bc_path = os.path.join(ROOT, "tools/out/best_config.json")
+    tuned_line = ""
+    if os.path.exists(bc_path):
+        bc = _load(bc_path)
+        knobs = [f"{k}={bc[k]}" for k in (
+            "conv_backend", "rays_dtype", "gcn_dtype", "sh_fan_fuse",
+            "graph_refresh_every") if k in bc]
+        tuned_line = ("Tuned defaults (`tools/out/best_config.json`): `"
+                      + "`, `".join(knobs) + "`.")
     lines = [
         BEGIN,
         f"Source artifacts: `{bench_src}` "
@@ -162,7 +171,8 @@ def render() -> str:
         f"(kernel gates, all_pass="
         f"{str(_load(_newest('KERNELS_r*.json'))['all_pass']).lower()}), "
         f"`tools/out/{os.path.basename(_newest('tools/out/tpu_bench_r*.json'))}` "
-        f"(A/B cells).  Regenerate with `python tools/render_perf_tables.py`.",
+        f"(A/B cells).  " + tuned_line
+        + "  Regenerate with `python tools/render_perf_tables.py`.",
         "",
         hdr,
         "|---|---|---|",
